@@ -1,0 +1,413 @@
+"""The CDC apply path: changelog batch -> LWW dedup -> bucket-pruned
+copy-on-write MERGE -> atomic snapshot commit (SURVEY.md §3.1 "ours", §4.3).
+
+This is the Spark-first re-expression of the reference's per-scrape-session
+persistence transaction (entity match -> compare -> write master + history
+rows -> COMMIT; see SURVEY.md §3.1 entry point A):
+
+  reference ``persistence/entity_matching.py`` (match on external key)
+      -> equi-join on doc_id (J1)
+  reference ``update_historical_snapshots.py`` (compare, close/open snapshot)
+      -> LWW winner classification (applied / deleted / stale)
+  reference single-DB-transaction commit
+      -> miniberg atomic manifest commit, idempotent on batch_id
+
+Scale design (10^10 events / 1000 executors):
+- ONE wide shuffle per batch: the LWW dedup keyed on (bucket, doc_id).
+  Default strategy ``agg`` = ``max_by(struct(payload), event_seq)`` — partial
+  aggregation (map-side combine) collapses duplicates/hot keys before the
+  shuffle, so Zipf skew never concentrates raw events on one reducer.
+  ``window`` (the spec-named row_number form) and ``salted_window``
+  (two-phase: per-salt partial row_number, then global) are provided and
+  tested equivalent; see bench for the comparison.
+- Target I/O is bucket-pruned: only manifest files whose bucket intersects
+  the batch's buckets are read/rewritten (Iceberg COW MERGE re-expressed).
+- The decision pass reads ONLY (doc_id, _seq) from the target — column
+  pruning reaches the parquet scan.
+- The rewrite pass anti-joins the (small) changed-doc set against the target;
+  AQE turns that into a broadcast join — target payload never shuffles unless
+  ``compact=True`` (default) re-buckets the output to bound file counts.
+- Winners are persisted (MEMORY_AND_DISK) — they are one row per doc touched,
+  orders of magnitude smaller than the raw event stream.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from recidiviz_data_spark.functions.tokens import normalize_tokens_native
+from recidiviz_data_spark.sources.changelog import (
+    list_batches,
+    payload_columns,
+    read_batch,
+    read_range,
+)
+from recidiviz_data_spark.tables.miniberg import Miniberg
+
+BUCKET = "_bucket"
+SEQ = "_seq"
+DELETED = "_deleted"
+
+
+# --------------------------------------------------------------------- dedup
+def dedup_lww(
+    valid: DataFrame,
+    payload_cols: list[str],
+    *,
+    strategy: str = "agg",
+    salt_partitions: int = 16,
+) -> DataFrame:
+    """One winner row per doc_id: the max-event_seq event (LWW).
+
+    agg           groupBy(bucket, doc_id).max_by(payload, event_seq) — partial
+                  agg absorbs skew map-side; the shuffle moves ≤1 row per
+                  (doc, partition).
+    window        row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)=1
+                  (the BASELINE.json-named form); full event shuffle + sort.
+    salted_window two-phase window for hot keys: partition (doc_id, salt)
+                  first, then (doc_id) over the ≤salt_partitions survivors.
+    """
+    cols = [BUCKET, "doc_id", "event_seq", "op", *payload_cols]
+    if strategy == "agg":
+        w = F.struct(F.col("op"), *[F.col(c) for c in payload_cols])
+        g = valid.groupBy(BUCKET, "doc_id").agg(
+            F.max_by(w, F.col("event_seq")).alias("_w"),
+            F.max("event_seq").alias("event_seq"),
+        )
+        return g.select(BUCKET, "doc_id", "event_seq", "_w.*")
+    if strategy == "window":
+        w = Window.partitionBy("doc_id").orderBy(F.desc("event_seq"))
+        return (
+            valid.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*cols)
+        )
+    if strategy == "salted_window":
+        salt = F.pmod(F.xxhash64("event_seq"), F.lit(salt_partitions))
+        w1 = Window.partitionBy("doc_id", "_salt").orderBy(F.desc("event_seq"))
+        partial = (
+            valid.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") == 1)
+        )
+        w2 = Window.partitionBy("doc_id").orderBy(F.desc("event_seq"))
+        return (
+            partial.withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") == 1)
+            .select(*cols)
+        )
+    raise ValueError(f"unknown dedup strategy {strategy!r}")
+
+
+# ------------------------------------------------------------------ helpers
+def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto schema: missing -> null, narrower -> widen-cast."""
+    cols = [
+        (F.col(f.name).cast(f.dataType) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(cols)
+
+
+def _validity(df: DataFrame) -> F.Column:
+    """An event is valid iff op∈{I,U,D} and non-deletes carry a consistent
+    payload (the reference's ingest-validator analog, SURVEY.md §2.2 P4)."""
+    op_ok = F.col("op").isin("I", "U", "D")
+    payload_ok = F.when(
+        F.col("op") == "D", F.lit(True)
+    ).otherwise(
+        F.col("doc_id").isNotNull()
+        & F.col("tokens").isNotNull()
+        & (F.col("n_tok").cast("long") == F.size("tokens").cast("long"))
+    )
+    return op_ok & F.col("doc_id").isNotNull() & payload_ok
+
+
+# -------------------------------------------------------------------- apply
+def apply_batch(
+    spark: SparkSession,
+    table: Miniberg,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    dedup_strategy: str = "agg",
+    salt_partitions: int = 16,
+    normalize: bool = True,
+    compact: bool = True,
+) -> list[dict]:
+    """MERGE one changelog batch into the table. Exactly-once: a batch_id at
+    or below the committed watermark is a no-op. Returns lineage rows."""
+    t0 = time.monotonic()
+    m = table.manifest()
+    if batch_id <= m["last_applied_batch"]:
+        return []  # idempotent replay
+
+    num_buckets = m["num_buckets"]
+    raw = batch_df.withColumn(
+        BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    ).withColumn("_valid", _validity(batch_df))
+
+    payload_cols = [c for c in payload_columns(batch_df) if c != "doc_id"]
+
+    # ---- schema evolution: table schema grows to cover this batch's payload
+    batch_payload_schema = T.StructType(
+        [f for f in batch_df.schema.fields if f.name in {"doc_id", *payload_cols}]
+        + [T.StructField(SEQ, T.LongType(), True), T.StructField(DELETED, T.BooleanType(), True)]
+    )
+    new_fields, schema_changed = table.evolve_schema(batch_payload_schema)
+    target_schema = T.StructType(
+        [
+            T.StructField(f["name"], _json_type(f["type"]), f["nullable"])
+            for f in new_fields["fields"]
+        ]
+    )
+    target_payload_cols = [f.name for f in target_schema.fields if f.name not in ("doc_id", SEQ)]
+
+    # ---- pass 0: per-bucket input metrics (counts only; cheap columnar agg)
+    in_metrics = {
+        r[BUCKET]: r
+        for r in raw.groupBy(BUCKET)
+        .agg(
+            F.count("*").alias("events_in"),
+            F.sum(F.when(~F.col("_valid"), 1).otherwise(0)).alias("invalid"),
+            F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
+        )
+        .collect()
+    }
+    if not in_metrics:
+        table.commit(added_files=[], last_applied_batch=batch_id, lineage_rows=[],
+                     expected_parent=m["version"])
+        return []
+
+    valid = raw.filter("_valid").drop("_valid")
+    if normalize:
+        valid = normalize_tokens_native(valid)
+
+    # ---- pass 1: LWW winners (ONE wide shuffle), persisted for reuse
+    winners = dedup_lww(
+        valid, payload_cols, strategy=dedup_strategy, salt_partitions=salt_partitions
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    affected = sorted(r[BUCKET] for r in winners.select(BUCKET).distinct().collect())
+
+    # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY (pruned)
+    target_min = (
+        table.read(spark, buckets=affected, include_internal=True)
+        .select("doc_id", F.col(SEQ).alias("_t_seq"))
+    )
+    # staleness compares against the row's _seq watermark, INCLUDING tombstone
+    # rows — that is why deletes must leave a tombstone: a stale update that
+    # arrives after a delete would otherwise resurrect the doc.
+    cls = (
+        F.when(
+            F.col("_t_seq").isNotNull() & (F.col("event_seq") <= F.col("_t_seq")),
+            F.lit("stale"),
+        )
+        .when(F.col("op") == "D", F.lit("deleted"))
+        .otherwise(F.lit("applied"))
+    )
+    decisions = (
+        winners.join(target_min, "doc_id", "left")
+        .withColumn("_cls", cls)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dec_metrics = {
+        r[BUCKET]: r
+        for r in decisions.groupBy(BUCKET)
+        .agg(
+            F.count("*").alias("winners"),
+            F.sum(F.when(F.col("_cls") == "applied", 1).otherwise(0)).alias("applied"),
+            F.sum(F.when(F.col("_cls") == "deleted", 1).otherwise(0)).alias("deleted"),
+            F.sum(F.when(F.col("_cls") == "stale", 1).otherwise(0)).alias("stale_winners"),
+        )
+        .collect()
+    }
+
+    # ---- pass 3: copy-on-write rewrite of affected buckets
+    changed_docs = decisions.filter(F.col("_cls").isin("applied", "deleted")).select("doc_id")
+    target_full = _align(
+        table.read(spark, buckets=affected, include_internal=True), target_schema
+    )
+    kept = target_full.join(changed_docs, "doc_id", "left_anti").withColumn(
+        BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    )
+    # applied -> live row; deleted -> tombstone (payload nulled, _seq kept)
+    changed = decisions.filter(F.col("_cls").isin("applied", "deleted"))
+    tombstoned = changed
+    for c in payload_cols:
+        tombstoned = tombstoned.withColumn(
+            c, F.when(F.col("_cls") == "deleted", F.lit(None)).otherwise(F.col(c))
+        )
+    upserts = _align(
+        tombstoned.withColumn(SEQ, F.col("event_seq")).withColumn(
+            DELETED, F.col("_cls") == "deleted"
+        ),
+        target_schema,
+    ).withColumn(BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int"))
+    rewrite = kept.unionByName(upserts)
+    if compact:
+        rewrite = rewrite.repartition(max(len(affected), 1), BUCKET)
+
+    staging = table.staging_dir()
+    rewrite.write.partitionBy(BUCKET).parquet(staging)
+    schema_id = m["schema_id"] + (1 if schema_changed else 0)
+    added = table.collect_staged_files(staging, schema_id)
+
+    # ---- lineage rows (FIXTURES.md §A5 reconciliation invariant)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    lineage = []
+    buckets_seen = sorted(set(in_metrics) | set(dec_metrics))
+    for b in buckets_seen:
+        im = in_metrics.get(b)
+        dm = dec_metrics.get(b)
+        events_in = im["events_in"] if im else 0
+        invalid = im["invalid"] if im else 0
+        valid_n = im["valid"] if im else 0
+        applied = dm["applied"] if dm else 0
+        deleted = dm["deleted"] if dm else 0
+        stale_w = dm["stale_winners"] if dm else 0
+        losers = valid_n - (dm["winners"] if dm else 0)
+        lineage.append(
+            {
+                "batch_id": batch_id,
+                "bucket": b,
+                "events_in": int(events_in),
+                "applied": int(applied),
+                "deleted": int(deleted),
+                "skipped_stale": int(stale_w + losers),
+                "invalid": int(invalid),
+                "wall_ms": wall_ms,
+            }
+        )
+
+    table.commit(
+        added_files=added,
+        replaced_buckets=set(affected),
+        schema_fields=new_fields if schema_changed else None,
+        last_applied_batch=batch_id,
+        lineage_rows=lineage,
+        expected_parent=m["version"],
+    )
+    winners.unpersist()
+    decisions.unpersist()
+    return lineage
+
+
+def apply_batches(
+    spark: SparkSession,
+    table: Miniberg,
+    changelog_dir: str,
+    *,
+    upto: int | None = None,
+    **kw,
+) -> list[dict]:
+    """Tail the changelog: apply every batch above the committed watermark
+    (checkpoint resume = just call this again; the manifest remembers)."""
+    lineage: list[dict] = []
+    watermark = table.manifest()["last_applied_batch"]
+    for b in list_batches(changelog_dir):
+        if b <= watermark or (upto is not None and b > upto):
+            continue
+        lineage.extend(
+            apply_batch(spark, table, read_batch(spark, changelog_dir, b), b, **kw)
+        )
+    return lineage
+
+
+def apply_full_log(
+    spark: SparkSession,
+    table_root: str,
+    changelog_dir: str,
+    *,
+    num_buckets: int = 16,
+    dedup_strategy: str = "agg",
+    normalize: bool = True,
+) -> Miniberg:
+    """M1 naive replay: the whole log in one commit (bulk-bootstrap path —
+    equivalent final state to batch-by-batch apply; used as the baseline)."""
+    log = read_range(spark, changelog_dir, normalize=True)
+    payload_cols = [c for c in payload_columns(log) if c != "doc_id"]
+    raw = log.withColumn(
+        BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    )
+    valid = raw.filter(_validity(log))
+    if normalize:
+        valid = normalize_tokens_native(valid)
+    winners = dedup_lww(valid, payload_cols, strategy=dedup_strategy)
+    # keep delete winners as tombstones (payload nulled) so later incremental
+    # applies on top of this table stay stale-safe
+    final = winners.withColumn(SEQ, F.col("event_seq")).withColumn(
+        DELETED, F.col("op") == "D"
+    )
+    for c in payload_cols:
+        final = final.withColumn(
+            c, F.when(F.col(DELETED), F.lit(None)).otherwise(F.col(c))
+        )
+
+    schema = T.StructType(
+        [f for f in log.schema.fields if f.name in {"doc_id", *payload_cols}]
+        + [T.StructField(SEQ, T.LongType(), True), T.StructField(DELETED, T.BooleanType(), True)]
+    )
+    table = Miniberg.create(table_root, schema, num_buckets=num_buckets)
+    staging = table.staging_dir()
+    out = _align(final, table.spark_schema()).withColumn(
+        BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    )
+    out.repartition(num_buckets, BUCKET).write.partitionBy(BUCKET).parquet(staging)
+    added = table.collect_staged_files(staging, table.manifest()["schema_id"])
+    last = max(list_batches(changelog_dir))
+    table.commit(added_files=added, replaced_buckets=set(range(num_buckets)),
+                 last_applied_batch=last)
+    return table
+
+
+def create_empty_table(
+    root: str,
+    payload_schema: T.StructType,
+    *,
+    num_buckets: int = 16,
+) -> Miniberg:
+    """Create an empty target table whose schema is the payload + the internal
+    ``_seq`` (per-row staleness watermark) and ``_deleted`` (tombstone flag)
+    columns the merge relies on."""
+    schema = T.StructType(
+        list(payload_schema.fields)
+        + [T.StructField(SEQ, T.LongType(), True), T.StructField(DELETED, T.BooleanType(), True)]
+    )
+    return Miniberg.create(root, schema, num_buckets=num_buckets)
+
+
+def bootstrap_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    *,
+    num_buckets: int = 16,
+) -> Miniberg:
+    """Create a table from an initial (non-CDC) snapshot; rows get _seq=-1 so
+    any changelog event (seq>=0) supersedes them."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(SEQ, T.LongType(), True), T.StructField(DELETED, T.BooleanType(), True)]
+    )
+    table = Miniberg.create(root, schema, num_buckets=num_buckets)
+    staging = table.staging_dir()
+    out = df.withColumn(SEQ, F.lit(-1).cast("long")).withColumn(DELETED, F.lit(False)).withColumn(
+        BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    )
+    out.repartition(num_buckets, BUCKET).write.partitionBy(BUCKET).parquet(staging)
+    added = table.collect_staged_files(staging, 0)
+    table.commit(added_files=added, replaced_buckets=set(range(num_buckets)))
+    return table
+
+
+def _json_type(j) -> T.DataType:
+    from recidiviz_data_spark.tables.miniberg import _type_from_json
+
+    return _type_from_json(j)

@@ -1,0 +1,351 @@
+"""miniberg — an Iceberg-style snapshot-committed table format over Parquet.
+
+Built from scratch (no Iceberg/Delta jars exist in this environment — SURVEY.md
+§0) to provide exactly what the CDC sink needs, mirroring the transactional
+commit the reference performs per scrape session
+(``persistence/update_historical_snapshots`` commits master+history rows in one
+DB transaction — SURVEY.md §3.1):
+
+- **Atomic commit**: a snapshot is one JSON manifest ``meta/v{N}.json``; the
+  commit *is* the atomic creation of that file (``os.link`` of a fully-written
+  temp file -> fails if the version already exists, i.e. optimistic CAS, the
+  same HadoopTableOperations trick Iceberg uses on HDFS).
+- **Exactly-once / idempotent replay**: each manifest carries
+  ``last_applied_batch``; re-applying a batch <= watermark is a no-op.
+- **Time travel**: every ``v{N}.json`` is immutable; read any version.
+- **Schema evolution**: field-id'd schema per snapshot; per-file ``schema_id``;
+  readers align old files to the current schema (add-column -> null fill,
+  int32->int64 / float->double widening -> cast on read).
+- **Bucket pruning**: every data file belongs to one ``pmod(xxhash64(doc_id),
+  num_buckets)`` bucket recorded in the manifest; MERGE reads only the buckets
+  a batch touches (Iceberg partition-pruned copy-on-write, re-expressed).
+- **Lineage**: per-commit metrics rows under ``meta/lineage/``.
+
+Orphan data files (written but never committed — e.g. a crash between the
+staging write and the manifest link) are invisible: the manifest is the sole
+source of truth. ``gc_orphans`` removes them.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FORMAT = "miniberg/1"
+# _seq: last-applied event_seq (staleness watermark per row)
+# _deleted: tombstone flag — deletes keep the row (payload nulled) so a
+#   later-arriving STALE update cannot resurrect the doc; reads filter these.
+INTERNAL_COLS = ("_seq", "_deleted")
+
+# type-widening lattice (Iceberg's promotion rules subset)
+_WIDEN = {
+    ("integer", "long"): True,
+    ("float", "double"): True,
+    ("integer", "double"): True,
+}
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first (CAS failure)."""
+
+
+class Miniberg:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+        self.lineage_dir = os.path.join(self.meta_dir, "lineage")
+
+    # ------------------------------------------------------------- creation
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        *,
+        num_buckets: int = 16,
+        key_col: str = "doc_id",
+        props: dict | None = None,
+    ) -> "Miniberg":
+        t = cls(root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.lineage_dir, exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue(), "nullable": f.nullable}
+            for i, f in enumerate(schema.fields)
+        ]
+        manifest = {
+            "format": FORMAT,
+            "table_uuid": str(uuid.uuid4()),
+            "version": 0,
+            "parent": None,
+            "schema_id": 0,
+            "schemas": {"0": {"fields": fields}},
+            "num_buckets": num_buckets,
+            "key_col": key_col,
+            "bucket_expr": f"pmod(xxhash64({key_col}), {num_buckets})",
+            "files": [],
+            "last_applied_batch": -1,
+            "props": props or {},
+        }
+        t._write_manifest(0, manifest)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return bool(glob.glob(os.path.join(root, "meta", "v*.json")))
+
+    # ------------------------------------------------------------- manifests
+    def _vpath(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:06d}.json")
+
+    def current_version(self) -> int:
+        versions = [
+            int(os.path.basename(p)[1:-5]) for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no miniberg table at {self.root}")
+        return max(versions)
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(self._vpath(v)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        return [self.manifest(v) for v in range(self.current_version() + 1)]
+
+    def _write_manifest(self, version: int, manifest: dict) -> None:
+        """Atomic CAS: link a fully-written temp file to the version path."""
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._vpath(version))
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    # ------------------------------------------------------------- schema
+    def spark_schema(self, version: int | None = None, *, include_internal: bool = True) -> T.StructType:
+        m = self.manifest(version)
+        return self._schema_struct(m, m["schema_id"], include_internal=include_internal)
+
+    @staticmethod
+    def _schema_struct(m: dict, schema_id: int, *, include_internal: bool = True) -> T.StructType:
+        fields = m["schemas"][str(schema_id)]["fields"]
+        return T.StructType(
+            [
+                T.StructField(f["name"], _type_from_json(f["type"]), f["nullable"])
+                for f in fields
+                if include_internal or f["name"] not in INTERNAL_COLS
+            ]
+        )
+
+    def evolve_schema(self, new_schema: T.StructType) -> tuple[dict, bool]:
+        """Merge new_schema into the current one (adds + widens). Returns
+        (fields-json, changed). Drops/renames are rejected — same rules the
+        reference implicitly follows (columns only ever added / widened,
+        SURVEY.md §1.1(2))."""
+        m = self.manifest()
+        cur = {f["name"]: dict(f) for f in m["schemas"][str(m["schema_id"])]["fields"]}
+        next_id = max(f["id"] for f in cur.values()) + 1 if cur else 1
+        changed = False
+        for f in new_schema.fields:
+            j = f.dataType.jsonValue()
+            if f.name not in cur:
+                cur[f.name] = {"id": next_id, "name": f.name, "type": j, "nullable": True}
+                next_id += 1
+                changed = True
+            else:
+                old = cur[f.name]["type"]
+                if old != j:
+                    if _WIDEN.get((old, j)):
+                        cur[f.name]["type"] = j
+                        changed = True
+                    elif _WIDEN.get((j, old)):
+                        pass  # incoming is narrower; current schema already covers it
+                    else:
+                        raise ValueError(f"incompatible type change for {f.name}: {old} -> {j}")
+        ordered = sorted(cur.values(), key=lambda x: x["id"])
+        return {"fields": ordered}, changed
+
+    # ------------------------------------------------------------- read path
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        *,
+        buckets: list[int] | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Read a snapshot, aligning every file group to the snapshot schema
+        (null-fill added columns, widen-cast old physical types). Default
+        reads hide internal columns AND filter tombstone rows."""
+        m = self.manifest(version)
+        full = self._schema_struct(m, m["schema_id"], include_internal=True)
+        user = self._schema_struct(m, m["schema_id"], include_internal=False)
+        files = m["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            return spark.createDataFrame([], full if include_internal else user)
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
+        parts: list[DataFrame] = []
+        for sid, paths in by_schema.items():
+            file_schema = self._schema_struct(m, sid, include_internal=True)
+            df = spark.read.schema(file_schema).parquet(*paths)
+            cols = [
+                (F.col(f.name).cast(f.dataType) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in full.fields
+            ]
+            parts.append(df.select(cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if include_internal:
+            return out
+        if "_deleted" in out.columns:
+            out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return out.select([f.name for f in user.fields])
+
+    def data_files(self, version: int | None = None, buckets: list[int] | None = None) -> list[str]:
+        m = self.manifest(version)
+        fs = m["files"] if buckets is None else [f for f in m["files"] if f["bucket"] in set(buckets)]
+        return [os.path.join(self.root, f["path"]) for f in fs]
+
+    # ------------------------------------------------------------- write path
+    def staging_dir(self) -> str:
+        os.makedirs(os.path.join(self.root, "tmp"), exist_ok=True)
+        return os.path.join(self.root, "tmp", f"stage-{uuid.uuid4().hex}")
+
+    def collect_staged_files(self, staging_dir: str, schema_id: int) -> list[dict]:
+        """Move ``staging/_bucket=N/part-*.parquet`` into data/, return file
+        entries (bucket parsed from the partition dir, rows from the footer)."""
+        entries = []
+        for path in sorted(glob.glob(os.path.join(staging_dir, "_bucket=*", "*.parquet"))):
+            bucket = int(os.path.basename(os.path.dirname(path)).split("=")[1])
+            meta = pq.ParquetFile(path).metadata
+            name = f"{uuid.uuid4().hex}-b{bucket:05d}.parquet"
+            dest_rel = os.path.join("data", name)
+            os.rename(path, os.path.join(self.root, dest_rel))
+            entries.append(
+                {
+                    "path": dest_rel,
+                    "bucket": bucket,
+                    "rows": meta.num_rows,
+                    "bytes": meta.serialized_size,
+                    "schema_id": schema_id,
+                }
+            )
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        return entries
+
+    def commit(
+        self,
+        *,
+        added_files: list[dict],
+        replaced_buckets: set[int] | None = None,
+        schema_fields: dict | None = None,
+        last_applied_batch: int | None = None,
+        lineage_rows: list[dict] | None = None,
+        expected_parent: int | None = None,
+        props: dict | None = None,
+    ) -> int:
+        """Create snapshot N+1: carry over files outside ``replaced_buckets``,
+        add ``added_files``. Atomic; raises CommitConflict if raced."""
+        parent_v = self.current_version()
+        if expected_parent is not None and parent_v != expected_parent:
+            raise CommitConflict(f"parent moved: {parent_v} != {expected_parent}")
+        m = self.manifest(parent_v)
+        new = dict(m)
+        new["version"] = parent_v + 1
+        new["parent"] = parent_v
+        replaced = replaced_buckets or set()
+        carried = [f for f in m["files"] if f["bucket"] not in replaced]
+        new["files"] = carried + added_files
+        if schema_fields is not None:
+            old_fields = m["schemas"][str(m["schema_id"])]["fields"]
+            if schema_fields["fields"] != old_fields:
+                new_sid = m["schema_id"] + 1
+                new["schemas"] = dict(m["schemas"])
+                new["schemas"][str(new_sid)] = schema_fields
+                new["schema_id"] = new_sid
+        if last_applied_batch is not None:
+            if last_applied_batch <= m["last_applied_batch"]:
+                raise CommitConflict(
+                    f"batch {last_applied_batch} already applied "
+                    f"(watermark={m['last_applied_batch']})"
+                )
+            new["last_applied_batch"] = last_applied_batch
+        if props:
+            new["props"] = {**m.get("props", {}), **props}
+        self._write_manifest(new["version"], new)
+        if lineage_rows:
+            lid = last_applied_batch if last_applied_batch is not None else new["version"]
+            with open(os.path.join(self.lineage_dir, f"batch-{lid}.json"), "w") as f:
+                json.dump(lineage_rows, f, indent=1)
+        return new["version"]
+
+    # ------------------------------------------------------------- utilities
+    def bucket_col(self) -> F.Column:
+        m = self.manifest()
+        return F.pmod(F.xxhash64(F.col(m["key_col"])), F.lit(m["num_buckets"])).cast("int")
+
+    def lineage(self) -> list[dict]:
+        rows: list[dict] = []
+        for p in sorted(glob.glob(os.path.join(self.lineage_dir, "batch-*.json"))):
+            with open(p) as f:
+                rows.extend(json.load(f))
+        return rows
+
+    def gc_orphans(self) -> list[str]:
+        """Delete data files not referenced by ANY snapshot + stale staging."""
+        referenced = set()
+        for v in range(self.current_version() + 1):
+            for f in self.manifest(v)["files"]:
+                referenced.add(os.path.join(self.root, f["path"]))
+        removed = []
+        for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
+            if p not in referenced:
+                os.unlink(p)
+                removed.append(p)
+        shutil.rmtree(os.path.join(self.root, "tmp"), ignore_errors=True)
+        return removed
+
+
+def _type_from_json(j) -> T.DataType:
+    if isinstance(j, str):
+        return {
+            "string": T.StringType(),
+            "integer": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "boolean": T.BooleanType(),
+            "date": T.DateType(),
+            "timestamp": T.TimestampType(),
+            "binary": T.BinaryType(),
+        }[j]
+    if j.get("type") == "array":
+        return T.ArrayType(_type_from_json(j["elementType"]), j.get("containsNull", True))
+    if j.get("type") == "struct":
+        return T.StructType(
+            [T.StructField(f["name"], _type_from_json(f["type"]), f.get("nullable", True)) for f in j["fields"]]
+        )
+    raise ValueError(f"unsupported type json: {j}")
