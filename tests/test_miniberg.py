@@ -1,0 +1,141 @@
+"""miniberg table-format tests (SURVEY.md §5.2 #2-4): atomic commits,
+exactly-once idempotency, time travel, orphan invisibility, schema evolution."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from recidiviz_data_spark.cdc.apply import apply_batch, apply_batches, create_empty_table
+from recidiviz_data_spark.oracle import assert_state_equal, expected_state, expected_state_with_lang
+from recidiviz_data_spark.sources.changelog import read_batch
+from recidiviz_data_spark.tables.miniberg import CommitConflict, Miniberg
+from tests.test_replay import V1_PAYLOAD, table_state
+
+
+def test_time_travel_matches_oracle_per_batch(spark, changelog_plain, tmp_path):
+    """Every snapshot version = oracle state folded up to that batch."""
+    d, spec = changelog_plain
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    apply_batches(spark, table, d)
+    # version v (1-based after create) corresponds to batch v-1
+    for v in range(1, table.current_version() + 1):
+        batch = table.manifest(v)["last_applied_batch"]
+        df = table.read(spark, version=v).selectExpr(
+            "doc_id", "tokens", "CAST(n_tok AS BIGINT) AS n_tok", "source"
+        )
+        assert_state_equal(df.toPandas(), expected_state(d, upto_batch=batch))
+
+
+def test_idempotent_reapply_is_noop(spark, changelog_plain, tmp_path):
+    d, _ = changelog_plain
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    apply_batches(spark, table, d)
+    v = table.current_version()
+    # re-apply an already-committed batch: no-op, no new snapshot
+    out = apply_batch(spark, table, read_batch(spark, d, 0), 0)
+    assert out == []
+    assert table.current_version() == v
+
+
+def test_crash_before_commit_leaves_no_trace(spark, changelog_plain, tmp_path):
+    """Simulate a crash between the staging write and the manifest commit:
+    data files exist on disk but no snapshot references them -> invisible,
+    and a clean re-run produces the correct state."""
+    d, _ = changelog_plain
+    root = str(tmp_path / "t")
+    table = create_empty_table(root, V1_PAYLOAD, num_buckets=4)
+    apply_batch(spark, table, read_batch(spark, d, 0), 0)
+
+    # "crash": stage batch 1's output straight into data/ without committing
+    from pyspark.sql import functions as F
+
+    orphan_df = read_batch(spark, d, 1).filter("op <> 'D'").limit(50)
+    staging = table.staging_dir()
+    orphan_df.withColumn("_bucket", F.lit(0)).write.partitionBy("_bucket").parquet(staging)
+    for p in glob.glob(os.path.join(staging, "_bucket=0", "*.parquet")):
+        os.rename(p, os.path.join(root, "data", "orphan-" + os.path.basename(p)))
+
+    n_visible = table.read(spark).count()
+    assert n_visible == len(expected_state(d, upto_batch=0))
+
+    removed = table.gc_orphans()
+    assert removed, "orphan files should have been collected"
+
+    # re-run from the watermark: final state correct
+    apply_batches(spark, table, d)
+    assert_state_equal(table_state(spark, table), expected_state(d))
+
+
+def test_resume_from_checkpoint_new_process(spark, changelog_small, tmp_path):
+    """Stop after batch 1; a NEW Miniberg handle (new process analog) resumes
+    at batch 2 and converges to the uninterrupted state."""
+    d, _ = changelog_small
+    root = str(tmp_path / "t")
+    t1 = create_empty_table(root, V1_PAYLOAD, num_buckets=4)
+    apply_batches(spark, t1, d, upto=1)
+    assert t1.manifest()["last_applied_batch"] == 1
+
+    t2 = Miniberg(root)  # fresh handle — reads watermark from the manifest
+    apply_batches(spark, t2, d)
+    assert_state_equal(
+        table_state(spark, t2, with_lang=True), expected_state_with_lang(d)
+    )
+
+
+def test_commit_conflict_on_same_parent(tmp_path):
+    root = str(tmp_path / "t")
+    table = create_empty_table(root, V1_PAYLOAD, num_buckets=4)
+    v = table.current_version()
+    table.commit(added_files=[], last_applied_batch=0, expected_parent=v)
+    with pytest.raises(CommitConflict):
+        table.commit(added_files=[], last_applied_batch=1, expected_parent=v)
+
+
+def test_schema_evolution_add_and_widen(spark, changelog_small, tmp_path):
+    """Mid-log schema_ver bump: lang column appears, n_tok widens to long;
+    old snapshots stay readable (time travel across schemas)."""
+    d, _ = changelog_small
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    apply_batches(spark, table, d)
+
+    cur = table.spark_schema(include_internal=False)
+    by_name = {f.name: f.dataType for f in cur.fields}
+    assert isinstance(by_name["lang"], T.StringType)
+    assert isinstance(by_name["n_tok"], T.LongType)
+
+    # old snapshot (pre-bump) read under ITS schema: no lang, int n_tok
+    m1 = table.manifest(1)
+    old_fields = {f["name"]: f["type"] for f in m1["schemas"][str(m1["schema_id"])]["fields"]}
+    assert "lang" not in old_fields
+    assert old_fields["n_tok"] == "integer"
+    assert table.read(spark, version=1).count() > 0
+
+    # new reader over old+new files: v1 rows have null lang, values correct
+    assert_state_equal(
+        table_state(spark, table, with_lang=True), expected_state_with_lang(d)
+    )
+
+
+def test_incompatible_schema_change_rejected(tmp_path):
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    bad = T.StructType([T.StructField("n_tok", T.StringType(), True)])
+    with pytest.raises(ValueError, match="incompatible"):
+        table.evolve_schema(bad)
+
+
+def test_manifest_is_sole_source_of_truth(tmp_path):
+    """Every version file is immutable JSON; VERSION discovery = max(v*.json)."""
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    table.commit(added_files=[], last_applied_batch=0)
+    paths = sorted(glob.glob(os.path.join(table.meta_dir, "v*.json")))
+    assert len(paths) == 2
+    for p in paths:
+        m = json.load(open(p))
+        assert m["format"] == "miniberg/1"
+    assert table.manifest(0)["last_applied_batch"] == -1
+    assert table.manifest(1)["last_applied_batch"] == 0
