@@ -1,0 +1,926 @@
+"""Relational operator coverage (SURVEY.md §2) as driver-contract queries.
+
+Every entry has a Spark implementation in ``QUERIES[name]`` and an equivalent
+ANSI-SQL oracle in ``ORACLES[name]`` (DuckDB, same parquet tables). Keys are
+prefixed with the SURVEY §2 operator row they cover (a1=groupBy aggs,
+j3=dimension joins, w2=sessionization, ...).
+
+Exactness conventions (the driver hashes raw values):
+- money/quantity sums go through DECIMAL(18,4) so both engines sum exactly,
+  then cast to DOUBLE (bit-identical) — never sum raw doubles (fold order);
+- averages = exact decimal sum cast to double, divided by count (IEEE-stable);
+- timestamps are cast to DATE or formatted — never emitted raw;
+- every row_number/limit has a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recidiviz_data_spark.operators.base import _q
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def dec_sum(col, alias: str):
+    """Exact sum: decimal accumulate, double out."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def dec_expr_sum(expr, alias: str):
+    return F.sum(expr.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- A1/A2: aggs
+@_q(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the reference's view-layer COUNT/SUM GROUP BYs (A1/A2)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_expr_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "a4_distinct_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a4_distinct_counts(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("n_days"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_q(
+    "a6_cube",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a6_cube(spark, sf_dir):
+    """Multi-dimensional combos — native replacement for the reference
+    calculator's hand-enumerated dimension subsets (SURVEY §2.4 A6)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("gid"),
+            F.count("*").alias("n"),
+            dec_sum("l_quantity", "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid", "n", "sum_qty",
+        )
+    )
+
+
+@_q(
+    "a6_rollup_orderdate",
+    """
+    SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+           coalesce(CAST(month(o_orderdate) AS BIGINT), -1) AS mo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+)
+def a6_rollup_orderdate(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").withColumn("yr0", F.year("o_orderdate")).withColumn(
+        "mo0", F.month("o_orderdate")
+    )
+    return (
+        o.rollup("yr0", "mo0")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice", "revenue"))
+        .select(
+            F.coalesce(F.col("yr0").cast("long"), F.lit(-1)).alias("yr"),
+            F.coalesce(F.col("mo0").cast("long"), F.lit(-1)).alias("mo"),
+            "n_orders", "revenue",
+        )
+    )
+
+
+@_q(
+    "a6_grouping_sets",
+    """
+    SELECT coalesce(c_mktsegment, '<all>') AS segment,
+           coalesce(n_name, '<all>') AS nation,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+    """,
+)
+def a6_grouping_sets(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView("_gs_cn")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, '<all>') AS segment,
+               coalesce(n_name, '<all>') AS nation,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM _gs_cn GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )
+
+
+# ------------------------------------------------------------------ J*: joins
+@_q(
+    "j3_dim_join_revenue",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j3_dim_join_revenue(spark, sf_dir):
+    """Fact ⨝ broadcast dimension chain (reference view joins, J3)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dec_expr_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "j1_semi_join",
+    """
+    SELECT n_name AS nation, COUNT(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY n_name
+    """,
+)
+def j1_semi_join(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem").filter("l_quantity > 45")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+@_q(
+    "j1_anti_join",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers_without_orders
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    GROUP BY c_mktsegment
+    """,
+)
+def j1_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@_q(
+    "j1_merge_full_outer",
+    """
+    WITH h1 AS (SELECT o_custkey k, COUNT(*) n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) v
+                FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+         h2 AS (SELECT o_custkey k, COUNT(*) n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) v
+                FROM orders WHERE year(o_orderdate) >  1997 GROUP BY 1)
+    SELECT CASE WHEN h1.k IS NULL THEN 'insert'
+                WHEN h2.k IS NULL THEN 'delete'
+                WHEN h1.v <> h2.v THEN 'update' ELSE 'unchanged' END AS op,
+           COUNT(*) AS n_keys
+    FROM h1 FULL OUTER JOIN h2 ON h1.k = h2.k
+    GROUP BY 1
+    """,
+)
+def j1_merge_full_outer(spark, sf_dir):
+    """The MERGE/entity-matching core (J1): full-outer join of two snapshot
+    states, classifying keys insert/update/delete — the differ shape."""
+    o = load(spark, sf_dir, "orders")
+    agg = lambda df: df.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n"), dec_sum("o_totalprice", "v")
+    )
+    h1 = agg(o.filter(F.year("o_orderdate") <= 1997))
+    h2 = agg(o.filter(F.year("o_orderdate") > 1997))
+    j = h1.alias("a").join(h2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    op = (
+        F.when(F.col("a.k").isNull(), "insert")
+        .when(F.col("b.k").isNull(), "delete")
+        .when(F.col("a.v") != F.col("b.v"), "update")
+        .otherwise("unchanged")
+    )
+    return j.select(op.alias("op")).groupBy("op").agg(F.count("*").alias("n_keys"))
+
+
+@_q(
+    "j4_date_spine",
+    """
+    SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(*) AS n_open_orders
+    FROM (SELECT unnest(generate_series(CAST(o_orderdate AS DATE),
+                                        CAST(o_orderdate AS DATE) + INTERVAL 6 DAY,
+                                        INTERVAL 1 DAY))::DATE AS day
+          FROM orders)
+    GROUP BY day
+    """,
+)
+def j4_date_spine(spark, sf_dir):
+    """Date-spine interval join (J4): sequence+explode turns the range join
+    into an equi-join on day — the scalable idiom for daily-population views."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.explode(
+                F.sequence(F.to_date("o_orderdate"), F.date_add(F.to_date("o_orderdate"), 6))
+            ).alias("day")
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_open_orders"))
+    )
+
+
+@_q(
+    "j6_asof_latest",
+    """
+    SELECT user_id, event_type AS last_type, value AS last_value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+    WHERE rn = 1
+    """,
+)
+def j6_asof_latest(spark, sf_dir):
+    """As-of lookup (J6): latest state per key at time t — exactly the
+    reference's 'open snapshot valid at t' query over history tables."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_type").alias("last_type"), F.col("value").alias("last_value"))
+    )
+
+
+# ------------------------------------------------------------- W*: windows
+@_q(
+    "w1_topk_per_group",
+    """
+    SELECT p_brand AS brand, p_partkey, p_retailprice
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) rn
+          FROM part)
+    WHERE rn <= 3
+    """,
+)
+def w1_topk_per_group(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select(F.col("p_brand").alias("brand"), "p_partkey", "p_retailprice")
+    )
+
+
+@_q(
+    "w1_rank_dense_ntile",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile,
+           o_orderkey
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def w1_rank_dense_ntile(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter("o_totalprice > 400000")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        "o_orderkey",
+    )
+
+
+@_q(
+    "w2_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def w2_sessionize(spark, sf_dir):
+    """Sessionization via lag (W2) — the reference's release->readmission
+    pairing re-expressed as a window, not a per-person Python loop."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamp[us] loads as TIMESTAMP_NTZ; cast for unix_micros
+    mu = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = mu - F.lag(mu).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@_q(
+    "w2_followup_rate",
+    """
+    WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         pur AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         per_err AS (
+           SELECT err.event_id,
+                  strftime(date_trunc('week', err.ts), '%Y-%m-%d') AS week,
+                  MAX(CASE WHEN pur.user_id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+           FROM err LEFT JOIN pur
+             ON err.user_id = pur.user_id
+            AND pur.ts > err.ts AND pur.ts <= err.ts + INTERVAL 7 DAY
+           GROUP BY 1, 2)
+    SELECT week, COUNT(*) AS n_errors, SUM(hit) AS n_followed,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS followup_rate
+    FROM per_err GROUP BY week
+    """,
+)
+def w2_followup_rate(spark, sf_dir):
+    """The recidivism-calculator shape (SURVEY §3.3): event -> did a follow-up
+    event occur within N days -> cohort rate per period."""
+    e = load(spark, sf_dir, "events")
+    err = e.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    pur = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    j = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    per_err = j.groupBy(
+        "event_id", F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+    ).agg(F.max(F.when(F.col("p_user").isNotNull(), 1).otherwise(0)).alias("hit"))
+    return per_err.groupBy("week").agg(
+        F.count("*").alias("n_errors"),
+        F.sum("hit").alias("n_followed"),
+        (F.sum("hit").cast("double") / F.count("*")).alias("followup_rate"),
+    )
+
+
+@_q(
+    "w3_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue
+    FROM lineitem WHERE l_suppkey <= 20
+    """,
+)
+def w3_running_sum(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter("l_suppkey <= 20")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+# ----------------------------------------------------- O/U: sort/limit/setops
+@_q(
+    "o2_top_orders",
+    """
+    SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def o2_top_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+    )
+
+
+@_q(
+    "u1_stitch_precedence",
+    """
+    WITH unioned AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value, 1 AS precedence, event_id
+      FROM events WHERE event_type IN ('purchase', 'signup')
+      UNION ALL
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value, 2 AS precedence, event_id
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT user_id, day, value AS chosen_value, precedence AS chosen_src
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id, day ORDER BY precedence, event_id) rn
+          FROM unioned)
+    WHERE rn = 1
+    """,
+)
+def u1_stitch_precedence(spark, sf_dir):
+    """The reference's stitch views (J5/U1): UNION ALL overlapping sources,
+    keep one row per key by source precedence."""
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value",
+        F.lit(1).alias("precedence"), "event_id",
+    )
+    b = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value",
+        F.lit(2).alias("precedence"), "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("precedence", "event_id")
+    return (
+        a.unionByName(b)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "day", F.col("value").alias("chosen_value"),
+                F.col("precedence").alias("chosen_src"))
+    )
+
+
+@_q(
+    "u1_union_schema_evolution",
+    """
+    SELECT source, COUNT(*) AS n, COUNT(extra) AS n_with_extra
+    FROM (
+      SELECT 'old' AS source, c_custkey, NULL AS extra FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT 'new' AS source, c_custkey, c_mktsegment AS extra FROM customer WHERE c_custkey % 2 = 1
+    )
+    GROUP BY source
+    """,
+)
+def u1_union_schema_evolution(spark, sf_dir):
+    """unionByName(allowMissingColumns=True) — the schema-evolution union."""
+    c = load(spark, sf_dir, "customer")
+    old = c.filter("c_custkey % 2 = 0").select(F.lit("old").alias("source"), "c_custkey")
+    new = c.filter("c_custkey % 2 = 1").select(
+        F.lit("new").alias("source"), "c_custkey", F.col("c_mktsegment").alias("extra")
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy("source").agg(
+        F.count("*").alias("n"), F.count("extra").alias("n_with_extra")
+    )
+
+
+@_q(
+    "u2_except_intersect",
+    """
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT 'rich_without_orders' AS grp, COUNT(*) AS n
+    FROM (SELECT k FROM rich EXCEPT SELECT k FROM with_orders)
+    UNION ALL
+    SELECT 'rich_with_orders' AS grp, COUNT(*) AS n
+    FROM (SELECT k FROM rich INTERSECT SELECT k FROM with_orders)
+    """,
+)
+def u2_except_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rich = c.filter("c_acctbal > 5000").select(F.col("c_custkey").alias("k"))
+    w = o.select(F.col("o_custkey").alias("k")).distinct()
+    ex = rich.subtract(w)  # EXCEPT (set semantics)
+    it = rich.intersect(w)
+    # global agg (not groupBy) so an empty set still yields a 0-count row
+    a = ex.agg(F.count("*").alias("n")).select(F.lit("rich_without_orders").alias("grp"), "n")
+    b = it.agg(F.count("*").alias("n")).select(F.lit("rich_with_orders").alias("grp"), "n")
+    return a.unionByName(b)
+
+
+# -------------------------------------------------- P/F: transforms & scalars
+@_q(
+    "p2_enum_normalize",
+    """
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 'URGENT' WHEN '2-HIGH' THEN 'HIGH'
+             WHEN '3-MEDIUM' THEN 'MEDIUM' WHEN '4-NOT SPECIFIED' THEN 'UNSPECIFIED'
+             ELSE 'LOW' END AS priority_enum,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def p2_enum_normalize(spark, sf_dir):
+    """Enum normalization (P2): raw string -> canonical enum via a map
+    expression (the reference's converter/EnumOverrides, vectorized)."""
+    o = load(spark, sf_dir, "orders")
+    mapping = F.create_map(
+        F.lit("1-URGENT"), F.lit("URGENT"),
+        F.lit("2-HIGH"), F.lit("HIGH"),
+        F.lit("3-MEDIUM"), F.lit("MEDIUM"),
+        F.lit("4-NOT SPECIFIED"), F.lit("UNSPECIFIED"),
+    )
+    enum = F.coalesce(mapping[F.col("o_orderpriority")], F.lit("LOW"))
+    return o.select(enum.alias("priority_enum")).groupBy("priority_enum").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "p3_string_funcs",
+    """
+    SELECT upper(trim(split_part(p_type, ' ', 1))) AS type_head,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           regexp_extract(p_brand, '[0-9]+$', 0) AS brand_num,
+           COUNT(*) AS n
+    FROM part GROUP BY 1, 2, 3, 4
+    """,
+)
+def p3_string_funcs(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        F.upper(F.trim(F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)))).alias("type_head"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_brand", "[0-9]+$", 0).alias("brand_num"),
+    ).groupBy("type_head", "name_len", "size_padded", "brand_num").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "p4_validate_split",
+    """
+    SELECT n_name AS nation,
+           SUM(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS n_valid,
+           SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_invalid
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def p4_validate_split(spark, sf_dir):
+    """Row validation with side-output counting (P4, the reference's
+    error-threshold gate)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") >= 0, 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_invalid"),
+        )
+    )
+
+
+@_q(
+    "f_date_funcs",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           COUNT(*) AS n,
+           CAST(SUM(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')) AS BIGINT) AS total_days_before_y2k,
+           strftime(MIN(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY), '%Y-%m-%d') AS min_due
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def f_date_funcs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate"))).cast("long").alias("total_days_before_y2k"),
+        F.date_format(F.min(F.date_add(F.to_date("o_orderdate"), 30)), "yyyy-MM-dd").alias("min_due"),
+    )
+
+
+@_q(
+    "f_case_math",
+    """
+    SELECT CASE WHEN l_discount = 0 THEN 'none'
+                WHEN l_discount < 0.05 THEN 'low' ELSE 'high' END AS disc_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(18,4))) AS DOUBLE) AS total_tax,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def f_case_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_discount") == 0, "none")
+        .when(F.col("l_discount") < 0.05, "low")
+        .otherwise("high")
+    )
+    return li.groupBy(bucket.alias("disc_bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_extendedprice") * F.col("l_tax")).cast("decimal(18,4)")).cast("double").alias("total_tax"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_qty"),
+    )
+
+
+@_q(
+    "f_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f_json_extract(spark, sf_dir):
+    """JSON scalar functions (SURVEY §2.6) over events.props."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.groupBy("event_type").agg(
+        F.sum(k.cast("long")).cast("long").alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+@_q(
+    "f_hash_bucket_lineage",
+    """
+    SELECT CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_keys
+    FROM orders GROUP BY 1
+    """,
+)
+def f_hash_bucket_lineage(spark, sf_dir):
+    """Hash bucketing + per-bucket counts (A7 lineage analog) with a hash
+    portable across engines (md5 prefix as int60)."""
+    o = load(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10).cast("long")
+    return o.groupBy((h % 16).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_rows"), F.countDistinct("o_custkey").alias("n_keys")
+    )
+
+
+@_q(
+    "f_pivot",
+    """
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f_pivot(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# -------------------------------------------- CDC semantics on the test tables
+@_q(
+    "a5_lww_state",
+    """
+    SELECT user_id, event_type AS cur_type, value AS cur_value,
+           strftime(ts, '%Y-%m-%d') AS cur_day
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def a5_lww_state(spark, sf_dir):
+    """Last-writer-wins collapse (A5) — the engine's dedup semantic run
+    against the events stream: current state per user."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id", F.col("event_type").alias("cur_type"),
+            F.col("value").alias("cur_value"), F.date_format("ts", "yyyy-MM-dd").alias("cur_day"),
+        )
+    )
+
+
+@_q(
+    "cdc_snapshot_diff",
+    """
+    WITH s1 AS (SELECT user_id, value FROM (
+                  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+         s2 AS (SELECT user_id, value FROM (
+                  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events) WHERE rn = 1)
+    SELECT CASE WHEN s1.user_id IS NULL THEN 'I'
+                WHEN s2.user_id IS NULL THEN 'D'
+                WHEN s1.value <> s2.value THEN 'U' ELSE 'N' END AS op,
+           COUNT(*) AS n
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    GROUP BY 1
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot differ (SURVEY §4.3.5): diff two table versions into I/U/D/N
+    change events — the scrape-session diff that FEEDS the changelog."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("user_id", "value")
+        )
+
+    s1 = latest(e.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")))
+    s2 = latest(e)
+    j = s1.alias("a").join(s2.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    op = (
+        F.when(F.col("a.user_id").isNull(), "I")
+        .when(F.col("b.user_id").isNull(), "D")
+        .when(F.col("a.value") != F.col("b.value"), "U")
+        .otherwise("N")
+    )
+    return j.select(op.alias("op")).groupBy("op").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "st_tumbling_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling_daily(spark, sf_dir):
+    """Event-time tumbling window (streaming semantics, batch-equivalent):
+    F.window(ts, '1 day') == date_trunc day grouping."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "event_type", "n", "total_value")
+    )
+
+
+# ----------------------------------------------------------- S*: sources
+@_q(
+    "s2_json_lines_source",
+    """
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % 10 = 0 GROUP BY event_type
+    """,
+)
+def s2_json_lines_source(spark, sf_dir):
+    """JSON source (S2): serialize a slice to JSON-lines, read it back with an
+    explicit schema, aggregate — proves the JSON reader path end-to-end."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = load(spark, sf_dir, "events").filter("event_id % 10 = 0")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"rds_jsonsrc_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e.selectExpr("event_id", "event_type", "value").write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, event_type string, value double").json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@_q(
+    "s3_csv_source",
+    """
+    SELECT n_name AS nation, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+    """,
+)
+def s3_csv_source(spark, sf_dir):
+    """CSV source (S3): round-trip supplier through CSV with an explicit
+    schema (header on, no inference in prod), then join+agg."""
+    import hashlib
+    import os
+    import tempfile
+
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"rds_csvsrc_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").write.mode(
+            "overwrite"
+        ).option("header", True).csv(path)
+    back = spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).option("header", True).csv(path)
+    return (
+        back.join(F.broadcast(n), back.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@_q(
+    "s7_view_materialization",
+    """
+    SELECT r_name AS region, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name
+    """,
+)
+def s7_view_materialization(spark, sf_dir):
+    """View layer (S7): register temp views, query them in SQL — the
+    reference's BigQueryView/view_manager analog."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_v_nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("_v_region")
+    return spark.sql(
+        """
+        SELECT r_name AS region, COUNT(*) AS n_nations
+        FROM _v_nation JOIN _v_region ON n_regionkey = r_regionkey GROUP BY r_name
+        """
+    )

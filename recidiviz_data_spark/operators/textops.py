@@ -1,0 +1,160 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+All native Catalyst expressions (no Python in the hot path); every query is
+DuckDB-oracle checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recidiviz_data_spark.operators.base import _q
+from recidiviz_data_spark.operators.relational import load
+
+# portable 60-bit hash (identical in Spark & DuckDB)
+def phash(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+PHASH_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "los", "de", "y", "un"],
+}
+
+
+@_q(
+    "t_token_count",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def t_token_count(spark, sf_dir):
+    """Whitespace tokenization counts per language (token budget accounting)."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        (F.sum(n).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+@_q(
+    "t_langid_heuristic",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['le','la','de','et','un'], x))) AS s_fr,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['der','die','das','und','ein'], x))) AS s_de,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['el','los','de','y','un'], x))) AS s_es
+      FROM documents)
+    SELECT lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS predicted,
+           COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def t_langid_heuristic(spark, sf_dir):
+    """Stopword-hit language ID (n-gram-heuristic class): confusion counts of
+    labeled vs predicted language."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), r"\s+")
+
+    def score(lang):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
+
+    scored = d.select(
+        "lang",
+        score("en").alias("s_en"), score("fr").alias("s_fr"),
+        score("de").alias("s_de"), score("es").alias("s_es"),
+    )
+    pred = (
+        F.when((F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when((F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")), "fr")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return scored.groupBy("lang", pred.alias("predicted")).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "t_quality_score",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             n_chars,
+             len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS n_uniq
+      FROM documents)
+    SELECT doc_id, lang, n_words,
+           CAST(n_chars AS DOUBLE) / n_words AS chars_per_word,
+           CAST(n_uniq AS DOUBLE) / n_words AS uniq_ratio,
+           CASE WHEN n_words >= 60 AND CAST(n_uniq AS DOUBLE) / n_words > 0.3 THEN 'high'
+                WHEN n_words >= 25 THEN 'medium' ELSE 'low' END AS quality_bucket
+    FROM q
+    """,
+)
+def t_quality_score(spark, sf_dir):
+    """Quality heuristics: length, lexical diversity, chars/word -> bucket
+    (the doc-filtering stage of a training-data pipeline)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    lwords = F.split(F.lower("text"), r"\s+")
+    q = d.select(
+        "doc_id", "lang",
+        F.size(words).alias("n_words"),
+        F.col("n_chars"),
+        F.size(F.array_distinct(lwords)).alias("n_uniq"),
+    )
+    bucket = (
+        F.when((F.col("n_words") >= 60) & (F.col("n_uniq").cast("double") / F.col("n_words") > 0.3), "high")
+        .when(F.col("n_words") >= 25, "medium")
+        .otherwise("low")
+    )
+    return q.select(
+        "doc_id", "lang", "n_words",
+        (F.col("n_chars").cast("double") / F.col("n_words")).alias("chars_per_word"),
+        (F.col("n_uniq").cast("double") / F.col("n_words")).alias("uniq_ratio"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+@_q(
+    "t_fingerprint",
+    f"""
+    SELECT doc_id,
+           {PHASH_SQL.format(x="lower(trim(text))")} AS fingerprint,
+           {PHASH_SQL.format(x="substr(lower(trim(text)), 1, 64)")} AS prefix_fp,
+           CAST(n_chars // 100 AS BIGINT) AS len_bucket
+    FROM documents
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full + prefix content hashes and a length
+    bucket — the cheap pre-filter for dedup."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim("text"))
+    return d.select(
+        "doc_id",
+        phash(norm).alias("fingerprint"),
+        phash(F.substring(norm, 1, 64)).alias("prefix_fp"),
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    )
