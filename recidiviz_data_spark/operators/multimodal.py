@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The image/audio decode libraries are NOT in this container, so the decode step
+is a clearly-marked deterministic FAKE (``fake_decode_meta``) / explicit stub
+(``decode_image``); the Spark-side plumbing — binary schema, mapInPandas batch
+shape, partition behavior, explode of per-frame rows — is real and
+oracle-checked (the fake metadata is pure arithmetic on bytes, reproducible
+in SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from recidiviz_data_spark.operators.base import _q
+from recidiviz_data_spark.operators.relational import load
+
+MM_SCHEMA = "doc_id bigint, byte_len bigint, first_byte bigint, width bigint, height bigint, n_frames bigint"
+
+
+def decode_image(payload: bytes):
+    """Real decode would use PIL/libjpeg — not available in this container."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (absent here); use fake_decode_meta "
+        "for plumbing tests and swap this in on a cluster with the libs"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Deterministic FAKE decode: metadata derived from the raw bytes only."""
+    n = len(payload)
+    first = payload[0] if n else -1
+    return n, first, n % 640, (n * 7) % 480, n % 24 + 1
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        meta = [fake_decode_meta(b) for b in pdf["payload"]]
+        out = pd.DataFrame(meta, columns=["byte_len", "first_byte", "width", "height", "n_frames"])
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@_q(
+    "mm_binary_decode_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_binary_decode_meta(spark, sf_dir):
+    """Binary-column decode plumbing: documents.text encoded to a binary
+    'payload' column, metadata extracted in Arrow-batched mapInPandas —
+    the exact shape a real image/audio feature-extractor takes."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_decode_batches, schema=MM_SCHEMA)
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    WITH meta AS (SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+                  FROM documents)
+    SELECT doc_id, CAST(frame AS BIGINT) AS frame
+    FROM meta, UNNEST(generate_series(0, n_frames - 1, 4)) t(frame)
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling over 'video' binaries: one row per sampled frame index
+    (every 4th) — explode of a per-row sequence, the distributed shape of
+    frame extraction."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    n_frames = (F.length("payload") % 24 + 1).cast("long")
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(4).cast("long"))).alias("frame"),
+    )

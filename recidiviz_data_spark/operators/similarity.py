@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, dim 64):
+brute-force cosine top-k (baseline) and an LSH-bucketed variant (scale path).
+
+Exactness: vectors are integer-scaled (``round(x*1000)`` per element) so dot
+products and norms are exact integers in both engines; cosine = exact_dot /
+sqrt(exact*exact) is a single IEEE-deterministic double op chain — results are
+bit-identical between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recidiviz_data_spark.operators.base import _q
+from recidiviz_data_spark.operators.relational import load
+from recidiviz_data_spark.operators.textops import PHASH_SQL, phash
+
+N_PLANES = 4  # LSH: 2^4 = 16 buckets over ~500 vectors at sf0.01
+
+
+def _scaled(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    iv = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
+    return e.select("vec_id", "label", iv.alias("v"))
+
+
+_SCALED_SQL = """
+  iv AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         FROM embeddings)
+"""
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+@_q(
+    "e_vector_stats",
+    f"""
+    WITH {_SCALED_SQL}
+    SELECT vec_id, label,
+           len(v) AS dim,
+           v[1] AS first_scaled,
+           CAST(list_dot_product(v, v) AS BIGINT) AS norm_sq,
+           sqrt(CAST(list_dot_product(v, v) AS DOUBLE)) AS l2_norm
+    FROM iv
+    """,
+)
+def e_vector_stats(spark, sf_dir):
+    """Array-function surface on embeddings: size/element_at/zip_with/aggregate."""
+    iv = _scaled(spark, sf_dir)
+    return iv.select(
+        "vec_id", "label",
+        F.size("v").alias("dim"),
+        F.element_at("v", 1).alias("first_scaled"),
+        _dot(F.col("v"), F.col("v")).alias("norm_sq"),
+        F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("l2_norm"),
+    )
+
+
+_COS_SQL = "list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))"
+
+
+@_q(
+    "e_cosine_neardup",
+    f"""
+    WITH {_SCALED_SQL}
+    SELECT a.vec_id AS v1, b.vec_id AS v2, {_COS_SQL} AS cosine
+    FROM iv a JOIN iv b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """,
+)
+def e_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force verification scan;
+    the LSH-bucketed query below is the at-scale candidate generator)."""
+    iv = _scaled(spark, sf_dir)
+    a, b = iv.alias("a"), iv.alias("b")
+    cos = (
+        _dot(F.col("a.v"), F.col("b.v")).cast("double")
+        / F.sqrt((_dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))).cast("double"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+@_q(
+    "e_ann_topk",
+    f"""
+    WITH {_SCALED_SQL},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             {_COS_SQL} AS cosine
+      FROM iv a JOIN iv b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10)
+    SELECT query_id, neighbor_id, neighbor_label, cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def e_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k per query vector — the correctness baseline
+    for ANN (broadcast the query set; scan the corpus once)."""
+    iv = _scaled(spark, sf_dir)
+    q = iv.filter("vec_id < 10").alias("a")
+    b = iv.alias("b")
+    cos = (
+        _dot(F.col("a.v"), F.col("b.v")).cast("double")
+        / F.sqrt((_dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))).cast("double"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("b.label").alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter("rn <= 5").drop("rn")
+
+
+# pseudo-random hyperplane weights, identical in both engines:
+# w(p, d) = (md5int60(p || ':' || d) % 2001) - 1000
+_PLANES_SQL = f"""
+  planes AS (SELECT p, d,
+                    ({PHASH_SQL.format(x="concat(CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))")} % 2001) - 1000 AS w
+             FROM UNNEST(generate_series(0, {N_PLANES - 1})) tp(p),
+                  UNNEST(generate_series(1, 64)) td(d)),
+  dots AS (SELECT iv.vec_id, planes.p, SUM(planes.w * iv.v[planes.d]) AS dot
+           FROM iv, planes GROUP BY iv.vec_id, planes.p),
+  buckets AS (SELECT vec_id,
+                     SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+              FROM dots GROUP BY vec_id)
+"""
+
+
+@_q(
+    "e_ann_lsh_bucketed",
+    f"""
+    WITH {_SCALED_SQL},
+    {_PLANES_SQL},
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+      FROM (SELECT iv.*, bucket FROM iv JOIN buckets USING (vec_id)) a
+      JOIN (SELECT iv.*, bucket FROM iv JOIN buckets USING (vec_id)) b
+        ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10)
+    SELECT query_id, neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn FROM cand)
+    WHERE rn <= 3
+    """,
+)
+def e_ann_lsh_bucketed(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH buckets (sign-bit signature) ->
+    candidates share a bucket -> exact cosine only within bucket. At 100TB the
+    bucket equi-join replaces the corpus scan entirely."""
+    iv = _scaled(spark, sf_dir)
+    spark_planes = spark.range(N_PLANES).select(
+        F.col("id").cast("int").alias("p"),
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("d"),
+    ).select(
+        "p", "d",
+        (phash(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("d").cast("string"))) % 2001 - 1000).alias("w"),
+    )
+    dims = iv.select("vec_id", F.posexplode("v").alias("d0", "x")).withColumn(
+        "d", F.col("d0") + 1
+    )
+    dots = (
+        dims.join(F.broadcast(spark_planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("dot"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0)
+        ).alias("bucket")
+    )
+    ivb = iv.join(buckets, "vec_id")
+    a = ivb.filter("vec_id < 10").alias("a")
+    b = ivb.alias("b")
+    cos = (
+        _dot(F.col("a.v"), F.col("b.v")).cast("double")
+        / F.sqrt((_dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))).cast("double"))
+    )
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("b.vec_id") != F.col("a.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").drop("rn")
