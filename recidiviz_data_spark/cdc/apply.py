@@ -25,10 +25,15 @@ Scale design (10^10 events / 1000 executors):
 - The decision pass reads ONLY (doc_id, _seq) from the target — column
   pruning reaches the parquet scan.
 - The rewrite pass anti-joins the (small) changed-doc set against the target;
-  AQE turns that into a broadcast join — target payload never shuffles unless
-  ``compact=True`` (default) re-buckets the output to bound file counts.
+  AQE turns that into a broadcast join — target payload streams through
+  UNSHUFFLED (its files are bucket-pure); only the winner rows re-shuffle for
+  bucket placement. ``compact='auto'`` folds a full per-bucket re-bucketing
+  into the commit once a bucket accumulates too many files (compaction rides
+  along with a normal write instead of being a separate job).
 - Winners are persisted (MEMORY_AND_DISK) — they are one row per doc touched,
   orders of magnitude smaller than the raw event stream.
+- The batch is scanned ONCE: the agg dedup fuses LWW winner selection with
+  the per-bucket input metrics (struct-max with map-side combine).
 """
 
 from __future__ import annotations
@@ -130,6 +135,26 @@ def _validity(df: DataFrame) -> F.Column:
 
 
 # -------------------------------------------------------------------- apply
+def _dedup_agg_fused(raw: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """ONE scan of the batch: per-(bucket, doc) LWW winner AND input metrics.
+
+    Winner = max over valid events of struct(event_seq, op, payload) — struct
+    ordering is lexicographic, so max event_seq wins and ties (exact duplicate
+    events) break deterministically on identical payload. max() ignores nulls,
+    so invalid events never win; a doc with only invalid events keeps
+    event_seq NULL (metrics-only row, excluded from the merge).
+    Partial aggregation (map-side combine) collapses hot keys per partition
+    BEFORE the shuffle — this is the skew story at 10^10 events.
+    """
+    w = F.struct("event_seq", "op", *payload_cols)
+    g = raw.groupBy(BUCKET, "doc_id").agg(
+        F.max(F.when(F.col("_valid"), w)).alias("_w"),
+        F.count("*").alias("_n_events"),
+        F.sum(F.when(F.col("_valid"), 0).otherwise(1)).alias("_n_invalid"),
+    )
+    return g.select(BUCKET, "doc_id", "_n_events", "_n_invalid", "_w.*")
+
+
 def apply_batch(
     spark: SparkSession,
     table: Miniberg,
@@ -139,20 +164,29 @@ def apply_batch(
     dedup_strategy: str = "agg",
     salt_partitions: int = 16,
     normalize: bool = True,
-    compact: bool = True,
+    compact: str | bool = "auto",
+    compact_files_per_bucket: int = 4,
 ) -> list[dict]:
     """MERGE one changelog batch into the table. Exactly-once: a batch_id at
-    or below the committed watermark is a no-op. Returns lineage rows."""
+    or below the committed watermark is a no-op. Returns lineage rows.
+
+    Per batch this runs ONE wide shuffle over the events (the LWW dedup; the
+    upsert rows are re-shuffled once more, but that set is winners-only), two
+    bucket-pruned target reads (a 2-column decision read + the rewrite read),
+    and one partitioned write. ``compact='auto'`` re-buckets the whole rewrite
+    only when a bucket's file count exceeds ``compact_files_per_bucket``,
+    otherwise target rows stream through the broadcast anti-join unshuffled.
+    """
     t0 = time.monotonic()
     m = table.manifest()
     if batch_id <= m["last_applied_batch"]:
         return []  # idempotent replay
 
     num_buckets = m["num_buckets"]
-    raw = batch_df.withColumn(
-        BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
-    ).withColumn("_valid", _validity(batch_df))
-
+    bucket_expr = F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    raw = batch_df.withColumn(BUCKET, bucket_expr).withColumn(
+        "_valid", _validity(batch_df)
+    )
     payload_cols = [c for c in payload_columns(batch_df) if c != "doc_id"]
 
     # ---- schema evolution: table schema grows to cover this batch's payload
@@ -167,34 +201,34 @@ def apply_batch(
             for f in new_fields["fields"]
         ]
     )
-    target_payload_cols = [f.name for f in target_schema.fields if f.name not in ("doc_id", SEQ)]
 
-    # ---- pass 0: per-bucket input metrics (counts only; cheap columnar agg)
-    in_metrics = {
-        r[BUCKET]: r
-        for r in raw.groupBy(BUCKET)
-        .agg(
-            F.count("*").alias("events_in"),
-            F.sum(F.when(~F.col("_valid"), 1).otherwise(0)).alias("invalid"),
-            F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
+    # ---- pass 1: LWW winners (+ fused input metrics on the agg path)
+    if dedup_strategy == "agg":
+        winners = _dedup_agg_fused(raw, payload_cols)
+    else:
+        in_metrics_df = raw.groupBy(BUCKET).agg(
+            F.count("*").alias("_n_events"),
+            F.sum(F.when(F.col("_valid"), 0).otherwise(1)).alias("_n_invalid"),
         )
-        .collect()
-    }
-    if not in_metrics:
+        in_rows = {r[BUCKET]: r for r in in_metrics_df.collect()}
+        winners = dedup_lww(
+            raw.filter("_valid").drop("_valid"),
+            payload_cols,
+            strategy=dedup_strategy,
+            salt_partitions=salt_partitions,
+        ).withColumn("_n_events", F.lit(None).cast("long")).withColumn(
+            "_n_invalid", F.lit(None).cast("long")
+        )
+    if normalize:
+        winners = normalize_tokens_native(winners)  # winners only — cheap
+    winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+
+    affected = sorted(r[BUCKET] for r in winners.select(BUCKET).distinct().collect())
+    if not affected:
+        winners.unpersist()
         table.commit(added_files=[], last_applied_batch=batch_id, lineage_rows=[],
                      expected_parent=m["version"])
         return []
-
-    valid = raw.filter("_valid").drop("_valid")
-    if normalize:
-        valid = normalize_tokens_native(valid)
-
-    # ---- pass 1: LWW winners (ONE wide shuffle), persisted for reuse
-    winners = dedup_lww(
-        valid, payload_cols, strategy=dedup_strategy, salt_partitions=salt_partitions
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    affected = sorted(r[BUCKET] for r in winners.select(BUCKET).distinct().collect())
 
     # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY (pruned)
     target_min = (
@@ -205,7 +239,8 @@ def apply_batch(
     # rows — that is why deletes must leave a tombstone: a stale update that
     # arrives after a delete would otherwise resurrect the doc.
     cls = (
-        F.when(
+        F.when(F.col("event_seq").isNull(), F.lit("invalid_only"))
+        .when(
             F.col("_t_seq").isNotNull() & (F.col("event_seq") <= F.col("_t_seq")),
             F.lit("stale"),
         )
@@ -221,74 +256,94 @@ def apply_batch(
         r[BUCKET]: r
         for r in decisions.groupBy(BUCKET)
         .agg(
-            F.count("*").alias("winners"),
+            F.sum("_n_events").alias("events_in"),
+            F.sum("_n_invalid").alias("invalid"),
+            F.count(F.col("event_seq")).alias("winners"),
             F.sum(F.when(F.col("_cls") == "applied", 1).otherwise(0)).alias("applied"),
             F.sum(F.when(F.col("_cls") == "deleted", 1).otherwise(0)).alias("deleted"),
             F.sum(F.when(F.col("_cls") == "stale", 1).otherwise(0)).alias("stale_winners"),
         )
         .collect()
     }
+    if dedup_strategy != "agg":
+        for b, r in dec_metrics.items():
+            d = r.asDict()
+            d["events_in"] = in_rows[b]["_n_events"] if b in in_rows else 0
+            d["invalid"] = in_rows[b]["_n_invalid"] if b in in_rows else 0
+            dec_metrics[b] = d
 
-    # ---- pass 3: copy-on-write rewrite of affected buckets
-    changed_docs = decisions.filter(F.col("_cls").isin("applied", "deleted")).select("doc_id")
-    target_full = _align(
-        table.read(spark, buckets=affected, include_internal=True), target_schema
+    n_changed = sum(
+        (r["applied"] or 0) + (r["deleted"] or 0) for r in _rows_or_dicts(dec_metrics)
     )
-    kept = target_full.join(changed_docs, "doc_id", "left_anti").withColumn(
-        BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
-    )
-    # applied -> live row; deleted -> tombstone (payload nulled, _seq kept)
-    changed = decisions.filter(F.col("_cls").isin("applied", "deleted"))
-    tombstoned = changed
-    for c in payload_cols:
-        tombstoned = tombstoned.withColumn(
-            c, F.when(F.col("_cls") == "deleted", F.lit(None)).otherwise(F.col(c))
+
+    added: list[dict] = []
+    if n_changed:
+        # ---- pass 3: copy-on-write rewrite of affected buckets
+        changed = decisions.filter(F.col("_cls").isin("applied", "deleted"))
+        changed_docs = changed.select("doc_id")
+        target_full = _align(
+            table.read(spark, buckets=affected, include_internal=True), target_schema
         )
-    upserts = _align(
-        tombstoned.withColumn(SEQ, F.col("event_seq")).withColumn(
-            DELETED, F.col("_cls") == "deleted"
-        ),
-        target_schema,
-    ).withColumn(BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int"))
-    rewrite = kept.unionByName(upserts)
-    if compact:
-        rewrite = rewrite.repartition(max(len(affected), 1), BUCKET)
+        kept = target_full.join(changed_docs, "doc_id", "left_anti").withColumn(
+            BUCKET, bucket_expr
+        )
+        # applied -> live row; deleted -> tombstone (payload nulled, _seq kept)
+        tombstoned = changed
+        for c in payload_cols:
+            tombstoned = tombstoned.withColumn(
+                c, F.when(F.col("_cls") == "deleted", F.lit(None)).otherwise(F.col(c))
+            )
+        upserts = _align(
+            tombstoned.withColumn(SEQ, F.col("event_seq")).withColumn(
+                DELETED, F.col("_cls") == "deleted"
+            ),
+            target_schema,
+        ).withColumn(BUCKET, bucket_expr)
 
-    staging = table.staging_dir()
-    rewrite.write.partitionBy(BUCKET).parquet(staging)
-    schema_id = m["schema_id"] + (1 if schema_changed else 0)
-    added = table.collect_staged_files(staging, schema_id)
+        files_per_bucket = {}
+        for f in m["files"]:
+            files_per_bucket[f["bucket"]] = files_per_bucket.get(f["bucket"], 0) + 1
+        need_compact = compact is True or (
+            compact == "auto"
+            and any(files_per_bucket.get(b, 0) >= compact_files_per_bucket for b in affected)
+        )
+        if need_compact:
+            # full re-bucket: one file per bucket after this commit
+            rewrite = kept.unionByName(upserts).repartition(max(len(affected), 1), BUCKET)
+        else:
+            # cheap path: target rows stream through the broadcast anti-join
+            # unshuffled (their files are bucket-pure); only winners shuffle
+            rewrite = kept.unionByName(
+                upserts.repartition(max(len(affected), 1), BUCKET)
+            )
+        staging = table.staging_dir()
+        rewrite.write.partitionBy(BUCKET).parquet(staging)
+        schema_id = m["schema_id"] + (1 if schema_changed else 0)
+        added = table.collect_staged_files(staging, schema_id)
 
     # ---- lineage rows (FIXTURES.md §A5 reconciliation invariant)
     wall_ms = int((time.monotonic() - t0) * 1000)
     lineage = []
-    buckets_seen = sorted(set(in_metrics) | set(dec_metrics))
-    for b in buckets_seen:
-        im = in_metrics.get(b)
-        dm = dec_metrics.get(b)
-        events_in = im["events_in"] if im else 0
-        invalid = im["invalid"] if im else 0
-        valid_n = im["valid"] if im else 0
-        applied = dm["applied"] if dm else 0
-        deleted = dm["deleted"] if dm else 0
-        stale_w = dm["stale_winners"] if dm else 0
-        losers = valid_n - (dm["winners"] if dm else 0)
+    for b in sorted(dec_metrics):
+        r = dec_metrics[b]
+        g = (lambda k: (r[k] if not isinstance(r, dict) else r.get(k)) or 0)
+        losers = g("events_in") - g("invalid") - g("winners")
         lineage.append(
             {
                 "batch_id": batch_id,
                 "bucket": b,
-                "events_in": int(events_in),
-                "applied": int(applied),
-                "deleted": int(deleted),
-                "skipped_stale": int(stale_w + losers),
-                "invalid": int(invalid),
+                "events_in": int(g("events_in")),
+                "applied": int(g("applied")),
+                "deleted": int(g("deleted")),
+                "skipped_stale": int(g("stale_winners") + losers),
+                "invalid": int(g("invalid")),
                 "wall_ms": wall_ms,
             }
         )
 
     table.commit(
         added_files=added,
-        replaced_buckets=set(affected),
+        replaced_buckets=set(affected) if n_changed else set(),
         schema_fields=new_fields if schema_changed else None,
         last_applied_batch=batch_id,
         lineage_rows=lineage,
@@ -297,6 +352,10 @@ def apply_batch(
     winners.unpersist()
     decisions.unpersist()
     return lineage
+
+
+def _rows_or_dicts(d):
+    return list(d.values())
 
 
 def apply_batches(

@@ -56,21 +56,26 @@ def doc_id_strings(n_docs: int) -> np.ndarray:
 def tokens_for_seqs(
     seqs: np.ndarray, min_len: int = 4, max_len: int = 64
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(values:int32 flat, offsets:int32) token lists, pure function of seq."""
+    """(values:int32 flat, offsets:int64) token lists, pure function of seq.
+
+    Per-element cost is kept to one multiply-add-shift-mod: the full splitmix
+    runs once per EVENT (for the length + a per-event seed); token values are
+    a cheap counter stream off that seed. Still bit-stable for identical seqs.
+    """
     seqs = seqs.astype(np.uint64)
     span = np.uint64(max_len - min_len + 1)
-    lengths = (min_len + (_hash2(seqs, 1) % span)).astype(np.int64)
+    seed = _hash2(seqs, 1)
+    lengths = (min_len + (seed % span)).astype(np.int64)
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     total = int(offsets[-1])
-    flat_seq = np.repeat(seqs, lengths)
+    flat_seed = np.repeat(seed, lengths)
     pos = np.arange(total, dtype=np.uint64) - np.repeat(
         offsets[:-1].astype(np.uint64), lengths
     )
-    values = (_hash2(flat_seq, pos + np.uint64(2)) % np.uint64(VOCAB_SIZE)).astype(
-        np.int32
-    )
-    return values, offsets.astype(np.int64)
+    mixed = (flat_seed + (pos + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(13)
+    values = (mixed % np.uint64(VOCAB_SIZE)).astype(np.int32)
+    return values, offsets
 
 
 @dataclass
@@ -159,10 +164,13 @@ def _batch_table(spec: ChangelogSpec, ev: dict, mask: np.ndarray, docs: np.ndarr
         pa.array(~is_del), pa.array(n_tok, type=ntok_type), pa.nulls(len(seq), ntok_type)
     )
     src = (_hash2(doc_idx.astype(np.uint64), 11) % np.uint64(3)).astype(np.int64)
+    doc_col = pa.DictionaryArray.from_arrays(
+        pa.array(doc_idx, type=pa.int32()), pa.array(docs, type=pa.string())
+    )
     cols: dict[str, pa.Array] = {
         "event_seq": pa.array(seq, type=pa.int64()),
         "op": pa.array(op, type=pa.string()),
-        "doc_id": pa.array(docs[doc_idx], type=pa.string()),
+        "doc_id": doc_col,
         "tokens": tok_col,
         "n_tok": ntok_col,
         "source": pa.array(_SOURCES[src], type=pa.string()),
