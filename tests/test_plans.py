@@ -100,4 +100,6 @@ def test_normalizer_is_codegen_not_python(spark, changelog_plain):
     df = normalize_tokens_native(read_range(spark, d))
     assert_no_row_python(df)
     plan = plan_string(df, mode="formatted")
-    assert "WholeStageCodegen" in plan
+    # Spark 4 formatted plans mark whole-stage codegen spans as `* ` nodes
+    # with a `[codegen id : N]` tag
+    assert "codegen id" in plan, plan
