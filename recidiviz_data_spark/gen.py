@@ -191,13 +191,23 @@ def gen_changelog(out_dir: str, spec: ChangelogSpec | None = None, **kw) -> Chan
     ev = _inject_copies(spec, _base_events(spec))
     docs = doc_id_strings(spec.n_docs)
     os.makedirs(out_dir, exist_ok=True)
+    # multiple files per batch: a real WAL ships many segment files, and the
+    # scan stage must parallelize — one fat file caps it at len/128MB splits
+    rows_per_file = int(spec.extra.get("rows_per_file", 200_000))
     for b in range(spec.n_batches):
-        mask = ev["batch"] == b
-        if not mask.any():
+        mask_idx = np.nonzero(ev["batch"] == b)[0]
+        if len(mask_idx) == 0:
             continue
         bdir = os.path.join(out_dir, f"batch_id={b}")
         os.makedirs(bdir, exist_ok=True)
-        pq.write_table(_batch_table(spec, ev, mask, docs), os.path.join(bdir, "part-0.parquet"))
+        n_files = max(1, (len(mask_idx) + rows_per_file - 1) // rows_per_file)
+        for i, chunk in enumerate(np.array_split(mask_idx, n_files)):
+            mask = np.zeros(len(ev["batch"]), dtype=bool)
+            mask[chunk] = True
+            pq.write_table(
+                _batch_table(spec, ev, mask, docs),
+                os.path.join(bdir, f"part-{i:04d}.parquet"),
+            )
     return spec
 
 

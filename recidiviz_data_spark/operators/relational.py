@@ -924,3 +924,104 @@ def s7_view_materialization(spark, sf_dir):
         FROM _v_nation JOIN _v_region ON n_regionkey = r_regionkey GROUP BY r_name
         """
     )
+
+
+@_q(
+    "j2_fuzzy_match",
+    """
+    WITH a AS (SELECT c_custkey, c_nationkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+         b AS (SELECT c_custkey, c_nationkey,
+                      concat(substr(c_name, 1, length(c_name) - 2), 'XX') AS c_name
+               FROM customer WHERE c_custkey % 3 = 0)
+    SELECT a.c_nationkey AS nation, COUNT(*) AS n_matches,
+           SUM(levenshtein(a.c_name, b.c_name)) AS total_distance
+    FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+                 AND levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY a.c_nationkey
+    """,
+)
+def j2_fuzzy_match(spark, sf_dir):
+    """Fuzzy entity matching (J2): the reference falls back to name-similarity
+    matching when no external id exists. Blocked nested-loop: equi-join on the
+    blocking key (nation) first, then the edit-distance predicate — the only
+    scalable shape for fuzzy joins."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter("c_custkey % 2 = 0").select(
+        F.col("c_custkey").alias("a_key"), F.col("c_nationkey").alias("a_nat"),
+        F.col("c_name").alias("a_name"),
+    )
+    b = c.filter("c_custkey % 3 = 0").select(
+        F.col("c_nationkey").alias("b_nat"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 2)"), F.lit("XX")
+        ).alias("b_name"),
+    )
+    dist = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    return (
+        a.join(b, (F.col("a_nat") == F.col("b_nat")) & (dist <= 2))
+        .groupBy(F.col("a_nat").alias("nation"))
+        .agg(F.count("*").alias("n_matches"), F.sum(dist).alias("total_distance"))
+    )
+
+
+@_q(
+    "udf_grouped_map",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4_sum,
+           CAST(MAX(event_id) AS BIGINT) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """applyInPandas (grouped-map pandas UDF, SURVEY §2.8): per-user stats
+    computed in pandas — the escape hatch for per-key logic Catalyst cannot
+    express. Values integer-scaled so pandas' pairwise summation matches SQL
+    exactly."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "value_e4_sum": [int((pdf["value"] * 10000).round().astype("int64").sum())],
+                "last_event_id": [int(pdf["event_id"].max())],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id bigint, n_events bigint, value_e4_sum bigint, last_event_id bigint"
+    )
+
+
+@_q(
+    "s6_parquet_export",
+    """
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus
+    """,
+)
+def s6_parquet_export(spark, sf_dir):
+    """Export pipeline (S6, the reference's Cloud SQL -> BigQuery export):
+    per-table export query -> columnar files -> reload -> aggregate."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").filter("o_totalprice > 100000").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"rds_pqexport_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
