@@ -166,6 +166,7 @@ def apply_batch(
     normalize: bool = True,
     compact: str | bool = "auto",
     compact_files_per_bucket: int = 4,
+    cache: bool = True,
 ) -> list[dict]:
     """MERGE one changelog batch into the table. Exactly-once: a batch_id at
     or below the committed watermark is a no-op. Returns lineage rows.
@@ -221,7 +222,8 @@ def apply_batch(
         )
     if normalize:
         winners = normalize_tokens_native(winners)  # winners only — cheap
-    winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache:
+        winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
 
     affected = sorted(r[BUCKET] for r in winners.select(BUCKET).distinct().collect())
     if not affected:
@@ -247,11 +249,9 @@ def apply_batch(
         .when(F.col("op") == "D", F.lit("deleted"))
         .otherwise(F.lit("applied"))
     )
-    decisions = (
-        winners.join(target_min, "doc_id", "left")
-        .withColumn("_cls", cls)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    decisions = winners.join(target_min, "doc_id", "left").withColumn("_cls", cls)
+    if cache:
+        decisions = decisions.persist(StorageLevel.MEMORY_AND_DISK)
     dec_metrics = {
         r[BUCKET]: r
         for r in decisions.groupBy(BUCKET)
@@ -349,8 +349,9 @@ def apply_batch(
         lineage_rows=lineage,
         expected_parent=m["version"],
     )
-    winners.unpersist()
-    decisions.unpersist()
+    if cache:
+        winners.unpersist()
+        decisions.unpersist()
     return lineage
 
 

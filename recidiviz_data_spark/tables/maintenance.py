@@ -1,0 +1,111 @@
+"""Table maintenance: compaction, snapshot expiry, tombstone purge.
+
+A long-running CDC table accumulates (a) small files per bucket (each commit
+adds ~1/bucket on the cheap write path), (b) old snapshots (every commit is an
+immutable manifest), (c) tombstone rows (deletes are retained for
+stale-replay safety). These ride-along costs are bounded here:
+
+- ``compact``       rewrite chosen buckets to one file each (a normal commit —
+                    readers never block; concurrent writers CAS-conflict and
+                    retry, same as Iceberg's RewriteDataFiles).
+- ``expire_snapshots`` drop manifests older than the last K, then GC data
+                    files referenced only by them (time travel shrinks to K).
+- ``purge_tombstones`` drop tombstone rows whose _seq is below a caller-chosen
+                    horizon (events below the horizon can no longer arrive —
+                    the reader's watermark contract), folded into a compact.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from recidiviz_data_spark.tables.miniberg import Miniberg
+
+
+def compact(
+    spark: SparkSession,
+    table: Miniberg,
+    *,
+    buckets: list[int] | None = None,
+    min_files: int = 2,
+    tombstone_horizon: int | None = None,
+) -> int | None:
+    """Rewrite buckets holding >= min_files files into one file each.
+    Optionally drops tombstones with _seq <= tombstone_horizon. Returns the
+    new version, or None if nothing needed compaction."""
+    m = table.manifest()
+    per_bucket: dict[int, int] = {}
+    for f in m["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    todo = sorted(
+        b for b, n in per_bucket.items()
+        if (buckets is None or b in set(buckets)) and (n >= min_files or tombstone_horizon is not None)
+    )
+    if not todo:
+        return None
+    df = table.read(spark, buckets=todo, include_internal=True)
+    if tombstone_horizon is not None and "_deleted" in df.columns:
+        df = df.filter(
+            ~(F.coalesce(F.col("_deleted"), F.lit(False)) & (F.col("_seq") <= tombstone_horizon))
+        )
+    out = df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(m["key_col"]), F.lit(m["num_buckets"])).cast("int")
+    ).repartition(len(todo), "_bucket")
+    staging = table.staging_dir()
+    out.write.partitionBy("_bucket").parquet(staging)
+    added = table.collect_staged_files(staging, m["schema_id"])
+    return table.commit(
+        added_files=added,
+        replaced_buckets=set(todo),
+        expected_parent=m["version"],
+        props={"last_compaction_version": m["version"] + 1},
+    )
+
+
+def expire_snapshots(table: Miniberg, *, keep_last: int = 5) -> list[str]:
+    """Delete manifests older than the last ``keep_last`` versions, then GC
+    data files referenced by NO surviving snapshot. The current version is
+    always kept; time travel is limited to the survivors."""
+    current = table.current_version()
+    cutoff = max(current - keep_last + 1, 0)
+    survivors = range(cutoff, current + 1)
+    keep_files = set()
+    for v in survivors:
+        for f in table.manifest(v)["files"]:
+            keep_files.add(os.path.join(table.root, f["path"]))
+
+    removed: list[str] = []
+    for v in range(cutoff):
+        p = table._vpath(v)
+        if os.path.exists(p):
+            os.unlink(p)
+            removed.append(p)
+    for p in glob.glob(os.path.join(table.data_dir, "*.parquet")):
+        if p not in keep_files:
+            os.unlink(p)
+            removed.append(p)
+    return removed
+
+
+def table_stats(table: Miniberg) -> dict:
+    """Operational summary: files/rows/bytes per bucket, snapshot count."""
+    m = table.manifest()
+    per_bucket: dict[int, dict] = {}
+    for f in m["files"]:
+        b = per_bucket.setdefault(f["bucket"], {"files": 0, "rows": 0})
+        b["files"] += 1
+        b["rows"] += f["rows"]
+    return {
+        "version": m["version"],
+        "snapshots": len(glob.glob(os.path.join(table.meta_dir, "v*.json"))),
+        "files": len(m["files"]),
+        "rows": sum(f["rows"] for f in m["files"]),
+        "max_files_per_bucket": max((b["files"] for b in per_bucket.values()), default=0),
+        "last_applied_batch": m["last_applied_batch"],
+        "schema_id": m["schema_id"],
+    }
