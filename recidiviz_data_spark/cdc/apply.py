@@ -60,6 +60,10 @@ SEQ = "_seq"
 DELETED = "_deleted"
 
 
+class InvalidBatchError(Exception):
+    """Batch rejected by the invalid-event threshold gate (no commit)."""
+
+
 # --------------------------------------------------------------------- dedup
 def dedup_lww(
     valid: DataFrame,
@@ -167,6 +171,7 @@ def apply_batch(
     compact: str | bool = "auto",
     compact_files_per_bucket: int = 4,
     cache: bool = True,
+    max_invalid_ratio: float | None = None,
 ) -> list[dict]:
     """MERGE one changelog batch into the table. Exactly-once: a batch_id at
     or below the committed watermark is a no-op. Returns lineage rows.
@@ -271,6 +276,22 @@ def apply_batch(
             d["events_in"] = in_rows[b]["_n_events"] if b in in_rows else 0
             d["invalid"] = in_rows[b]["_n_invalid"] if b in in_rows else 0
             dec_metrics[b] = d
+
+    # error-threshold gate (the reference aborts the persistence write when
+    # the scrape's error rate is too high — SURVEY.md §4.1): too many invalid
+    # events means the upstream is broken; abort BEFORE any file is written,
+    # leaving the table untouched (no commit, watermark unchanged).
+    if max_invalid_ratio is not None:
+        tot = sum((r["events_in"] or 0) for r in _rows_or_dicts(dec_metrics))
+        bad = sum((r["invalid"] or 0) for r in _rows_or_dicts(dec_metrics))
+        if tot and bad / tot > max_invalid_ratio:
+            if cache:
+                winners.unpersist()
+                decisions.unpersist()
+            raise InvalidBatchError(
+                f"batch {batch_id}: invalid ratio {bad}/{tot} exceeds "
+                f"{max_invalid_ratio}; aborting before write"
+            )
 
     n_changed = sum(
         (r["applied"] or 0) + (r["deleted"] or 0) for r in _rows_or_dicts(dec_metrics)

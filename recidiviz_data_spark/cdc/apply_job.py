@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bootstrap", default=None, help="initial snapshot parquet")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--max-invalid-ratio", type=float, default=None,
+                   help="abort a batch whose invalid-event ratio exceeds this")
+    p.add_argument("--compact-after", action="store_true",
+                   help="run bucket compaction after applying")
+    p.add_argument("--expire-keep-last", type=int, default=None,
+                   help="expire snapshots, keeping the last K")
+    p.add_argument("--gc", action="store_true", help="collect orphan files")
     args = p.parse_args(argv)
 
     from pyspark.sql import types as T
@@ -72,9 +79,22 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.monotonic()
     lineage = apply_batches(
-        spark, table, args.changelog, upto=args.upto, dedup_strategy=args.dedup
+        spark, table, args.changelog, upto=args.upto, dedup_strategy=args.dedup,
+        max_invalid_ratio=args.max_invalid_ratio,
     )
     wall = time.monotonic() - t0
+
+    maintenance: dict = {}
+    if args.compact_after:
+        from recidiviz_data_spark.tables.maintenance import compact
+
+        maintenance["compacted_version"] = compact(spark, table)
+    if args.expire_keep_last is not None:
+        from recidiviz_data_spark.tables.maintenance import expire_snapshots
+
+        maintenance["expired"] = len(expire_snapshots(table, keep_last=args.expire_keep_last))
+    if args.gc:
+        maintenance["gc_orphans"] = len(table.gc_orphans())
     events = sum(r["events_in"] for r in lineage)
     summary = {
         "batches_applied": len({r["batch_id"] for r in lineage}),
@@ -88,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
         "table_version": table.current_version(),
         "watermark": table.manifest()["last_applied_batch"],
     }
+    if maintenance:
+        summary["maintenance"] = maintenance
     print(json.dumps(summary))
     return 0
 

@@ -121,8 +121,15 @@ class Miniberg:
         with open(self._vpath(v)) as f:
             return json.load(f)
 
+    def versions(self) -> list[int]:
+        """Existing (non-expired) snapshot versions, ascending."""
+        return sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        )
+
     def snapshots(self) -> list[dict]:
-        return [self.manifest(v) for v in range(self.current_version() + 1)]
+        return [self.manifest(v) for v in self.versions()]
 
     def _write_manifest(self, version: int, manifest: dict) -> None:
         """Atomic CAS: link a fully-written temp file to the version path."""
@@ -315,9 +322,10 @@ class Miniberg:
         return rows
 
     def gc_orphans(self) -> list[str]:
-        """Delete data files not referenced by ANY snapshot + stale staging."""
+        """Delete data files not referenced by ANY existing snapshot + stale
+        staging (expired snapshots no longer pin their files)."""
         referenced = set()
-        for v in range(self.current_version() + 1):
+        for v in self.versions():
             for f in self.manifest(v)["files"]:
                 referenced.add(os.path.join(self.root, f["path"]))
         removed = []

@@ -96,3 +96,39 @@ def test_invalid_events_counted_and_excluded(spark, tmp_path):
     assert sum(r["invalid"] for r in lineage) == 3
     assert sum(r["applied"] for r in lineage) == 1
     assert {r["doc_id"] for r in table.read(spark).collect()} == {"a"}
+
+
+def test_invalid_threshold_aborts_batch(spark, tmp_path):
+    """The reference aborts the persistence write past an error threshold
+    (SURVEY §4.1); our gate must reject the batch BEFORE any commit."""
+    import os
+
+    import pytest
+
+    from recidiviz_data_spark.cdc.apply import InvalidBatchError, apply_batch
+    from recidiviz_data_spark.sources.changelog import read_batch
+
+    d = str(tmp_path / "cl")
+    os.makedirs(os.path.join(d, "batch_id=0"), exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_seq": pa.array([1, 2, 3], pa.int64()),
+            "op": pa.array(["I", "X", "X"], pa.string()),
+            "doc_id": pa.array(["a", "b", "c"], pa.string()),
+            "tokens": pa.array([[1], [2], [3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1, 1], pa.int32()),
+            "source": pa.array(["web"] * 3, pa.string()),
+            "ts": pa.array([0] * 3, pa.timestamp("us")),
+            "schema_ver": pa.array([1] * 3, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "batch_id=0", "part-0.parquet"))
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=2)
+    v = table.current_version()
+    with pytest.raises(InvalidBatchError):
+        apply_batch(spark, table, read_batch(spark, d, 0), 0, max_invalid_ratio=0.5)
+    assert table.current_version() == v  # nothing committed
+    assert table.manifest()["last_applied_batch"] == -1
+    # without the gate the batch applies, counting the invalids
+    lineage = apply_batch(spark, table, read_batch(spark, d, 0), 0)
+    assert sum(r["invalid"] for r in lineage) == 2
