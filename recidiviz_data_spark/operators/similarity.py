@@ -22,13 +22,17 @@ N_PLANES = 4  # LSH: 2^4 = 16 buckets over ~500 vectors at sf0.01
 def _scaled(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     iv = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
-    return e.select("vec_id", "label", iv.alias("v"))
+    out = e.select("vec_id", "label", iv.alias("v"))
+    # precompute the (exact) squared norm ONCE per vector — pair queries then
+    # evaluate a single dot product per candidate instead of three
+    return out.withColumn("n2", _dot(F.col("v"), F.col("v")).cast("double"))
 
 
 _SCALED_SQL = """
-  iv AS (SELECT vec_id, label,
-                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-         FROM embeddings)
+  iv0 AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+  iv AS (SELECT *, list_dot_product(v, v) AS n2 FROM iv0)
 """
 
 
@@ -62,7 +66,7 @@ def e_vector_stats(spark, sf_dir):
     )
 
 
-_COS_SQL = "list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))"
+_COS_SQL = "list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2)"
 
 
 @_q(
@@ -79,9 +83,8 @@ def e_cosine_neardup(spark, sf_dir):
     the LSH-bucketed query below is the at-scale candidate generator)."""
     iv = _scaled(spark, sf_dir)
     a, b = iv.alias("a"), iv.alias("b")
-    cos = (
-        _dot(F.col("a.v"), F.col("b.v")).cast("double")
-        / F.sqrt((_dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))).cast("double"))
+    cos = _dot(F.col("a.v"), F.col("b.v")).cast("double") / F.sqrt(
+        F.col("a.n2") * F.col("b.n2")
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -112,9 +115,8 @@ def e_ann_topk(spark, sf_dir):
     iv = _scaled(spark, sf_dir)
     q = iv.filter("vec_id < 10").alias("a")
     b = iv.alias("b")
-    cos = (
-        _dot(F.col("a.v"), F.col("b.v")).cast("double")
-        / F.sqrt((_dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))).cast("double"))
+    cos = _dot(F.col("a.v"), F.col("b.v")).cast("double") / F.sqrt(
+        F.col("a.n2") * F.col("b.n2")
     )
     scored = (
         F.broadcast(q)
@@ -190,9 +192,8 @@ def e_ann_lsh_bucketed(spark, sf_dir):
     ivb = iv.join(buckets, "vec_id")
     a = ivb.filter("vec_id < 10").alias("a")
     b = ivb.alias("b")
-    cos = (
-        _dot(F.col("a.v"), F.col("b.v")).cast("double")
-        / F.sqrt((_dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))).cast("double"))
+    cos = _dot(F.col("a.v"), F.col("b.v")).cast("double") / F.sqrt(
+        F.col("a.n2") * F.col("b.n2")
     )
     cand = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("b.vec_id") != F.col("a.vec_id"))
