@@ -27,9 +27,9 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("RDS_BENCH_EVENTS", str(2_000_000)))
+N_EVENTS = int(os.environ.get("RDS_BENCH_EVENTS", str(4_000_000)))
 N_DOCS = max(N_EVENTS // 10, 1000)
-N_BATCHES = int(os.environ.get("RDS_BENCH_BATCHES", "4"))
+N_BATCHES = int(os.environ.get("RDS_BENCH_BATCHES", "2"))
 SHUFFLE_P = 32  # identical at both parallelism levels (same plan, same data)
 REPEAT = int(os.environ.get("RDS_BENCH_REPEAT", "2"))  # interleaved min-of-N
 

@@ -37,7 +37,7 @@ def table_state(spark, table, with_lang=False):
     ).toPandas()
 
 
-@pytest.mark.parametrize("strategy", ["agg", "window", "salted_window"])
+@pytest.mark.parametrize("strategy", ["agg", "argmax", "window", "salted_window"])
 def test_incremental_apply_matches_oracle(spark, changelog_small, tmp_path, strategy):
     d, _ = changelog_small
     table = create_empty_table(str(tmp_path / f"t_{strategy}"), V1_PAYLOAD, num_buckets=8)
