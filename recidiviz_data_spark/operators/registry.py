@@ -7,7 +7,7 @@ import importlib
 
 from recidiviz_data_spark.operators.base import ORACLES, QUERIES  # noqa: F401
 
-for _name in ("relational", "textops", "dedup", "similarity", "multimodal", "cdcops"):
+for _name in ("relational", "textops", "dedup", "similarity", "multimodal", "cdcops", "statefulops"):
     try:
         importlib.import_module(f"recidiviz_data_spark.operators.{_name}")
     except ModuleNotFoundError as e:  # only tolerate a module that isn't built yet
