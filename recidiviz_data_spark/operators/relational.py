@@ -1025,3 +1025,30 @@ def s6_parquet_export(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
     )
+
+
+@_q(
+    "f_safe_divide",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / NULLIF(SUM(CAST(l_quantity AS DECIMAL(18,4))), 0) AS price_per_unit,
+           CAST(SUM(CAST(CASE WHEN l_discount = 0 THEN l_extendedprice END AS DECIMAL(18,4))) AS DOUBLE)
+             / NULLIF(COUNT(CASE WHEN l_discount = 0 THEN 1 END), 0) AS avg_undiscounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f_safe_divide(spark, sf_dir):
+    """SAFE_DIVIDE / try_divide (SURVEY §2.6 math row): null on zero
+    denominators instead of errors — per-group unit prices."""
+    li = load(spark, sf_dir, "lineitem")
+    num = F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+    undisc = F.when(F.col("l_discount") == 0, F.col("l_extendedprice"))
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.try_divide(num, den.cast("double")).alias("price_per_unit"),
+        F.try_divide(
+            F.sum(undisc.cast("decimal(18,4)")).cast("double"),
+            F.count(undisc).cast("double"),
+        ).alias("avg_undiscounted"),
+    )

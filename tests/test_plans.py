@@ -92,6 +92,31 @@ def test_merge_target_read_prunes_columns(spark, tmp_path):
     assert_column_pruned(target_min, ["tokens", "n_tok", "source"])
 
 
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketing (SURVEY §4.2 / guide): two tables bucketed by the join key
+    co-locate — the join plan has NO Exchange on either side."""
+    import shutil
+
+    o = load(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)  # stale dir from a dead session
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    # hint MERGE so tiny sf0.01 tables don't just broadcast — the point is
+    # that a sort-merge join over bucketed tables needs NO Exchange
+    j = spark.table("b_lineitem").hint("merge").join(
+        spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = plan_string(j, mode="simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    below_join = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in below_join, plan
+
+
 def test_normalizer_is_codegen_not_python(spark, changelog_plain):
     from recidiviz_data_spark.functions.tokens import normalize_tokens_native
     from recidiviz_data_spark.sources.changelog import read_range
