@@ -204,3 +204,76 @@ def e_ann_lsh_bucketed(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return cand.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").drop("rn")
+
+
+# IVF: deterministic seed centroids (every 31st vector). Lloyd refinement is
+# a repeated join + elementwise-avg groupBy (omitted here — the verified scale
+# mechanics are the coarse assignment and cell-probed search).
+_IVF_SQL = f"""
+  cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM iv WHERE vec_id % 31 = 0),
+  assign AS (
+    SELECT vec_id, cent_id, dist2 FROM (
+      SELECT iv.vec_id, cents.cent_id,
+             iv.n2 + cents.cn2 - 2 * list_dot_product(iv.v, cents.cv) AS dist2,
+             row_number() OVER (PARTITION BY iv.vec_id
+                                ORDER BY iv.n2 + cents.cn2 - 2 * list_dot_product(iv.v, cents.cv),
+                                         cents.cent_id) AS rn
+      FROM iv, cents) WHERE rn = 1)
+"""
+
+
+@_q(
+    "e_ann_ivf",
+    f"""
+    WITH {_SCALED_SQL},
+    {_IVF_SQL},
+    cand AS (
+      SELECT qa.vec_id AS query_id, b.vec_id AS neighbor_id,
+             qa.cent_id AS cell, {_COS_SQL}
+               AS cosine
+      FROM (SELECT iv.*, assign.cent_id FROM iv JOIN assign USING (vec_id)
+            WHERE vec_id < 10) qa
+      JOIN assign ba ON ba.cent_id = qa.cent_id AND ba.vec_id <> qa.vec_id
+      JOIN iv b ON b.vec_id = ba.vec_id,
+      LATERAL (SELECT qa.v AS v, qa.n2 AS n2) a)
+    SELECT query_id, neighbor_id, cell, cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn FROM cand)
+    WHERE rn <= 3
+    """,
+)
+def e_ann_ivf(spark, sf_dir):
+    """IVF ANN: coarse quantizer (nearest seed centroid by exact L2 on the
+    int-scaled vectors) partitions the corpus into cells; a query probes only
+    its own cell (nprobe=1) and ranks candidates by exact cosine. At 100TB
+    the cell assignment is a write-time partition key — search touches one
+    cell's files, never the corpus."""
+    iv = _scaled(spark, sf_dir)
+    cents = iv.filter("vec_id % 31 = 0").select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+    )
+    dist2 = F.col("n2") + F.col("cn2") - 2 * _dot(F.col("v"), F.col("cv"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cent_id"))
+    assign = (
+        iv.crossJoin(F.broadcast(cents))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter("rn = 1")
+        .select("vec_id", "cent_id")
+    )
+    ivc = iv.join(assign, "vec_id")
+    qa = ivc.filter("vec_id < 10").alias("a")
+    ba = ivc.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")).cast("double") / F.sqrt(
+        F.col("a.n2") * F.col("b.n2")
+    )
+    cand = qa.join(
+        ba, (F.col("a.cent_id") == F.col("b.cent_id")) & (F.col("b.vec_id") != F.col("a.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.cent_id").alias("cell"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").drop("rn")
