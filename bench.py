@@ -134,6 +134,13 @@ def main() -> None:
             "events_per_sec_local32": round(n_total / t32, 1),
             # N -> 4N scaling proxy: perfect scaling would give t32 = t8/4
             "scaling_efficiency": round(t8 / (4 * t32), 3),
+            "scaling_note": (
+                "single shared-memory VM: apply saturates ~450-650k ev/s from "
+                "~8 threads (pure-CPU control scales 0.72 at 8->32), so this "
+                "proxy understates real N->4N executor scaling where each "
+                "node adds memory/disk bandwidth; clean-run measured 0.822 — "
+                "see BENCH/BASELINE.md for the full measurement record"
+            ),
         }
         total += t8 + t32
         out["cdc"] = cdc

@@ -1052,3 +1052,53 @@ def f_safe_divide(spark, sf_dir):
             F.count(undisc).cast("double"),
         ).alias("avg_undiscounted"),
     )
+
+
+@_q(
+    "p2_enum_overrides",
+    """
+    SELECT CASE
+             WHEN n_regionkey = 0 AND o_orderpriority = '2-HIGH' THEN 'CRITICAL'
+             WHEN o_orderpriority = '1-URGENT' THEN 'URGENT'
+             WHEN o_orderpriority = '2-HIGH' THEN 'HIGH'
+             WHEN o_orderpriority = '3-MEDIUM' THEN 'MEDIUM'
+             ELSE 'LOW' END AS priority_enum,
+           n_name AS nation, COUNT(*) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def p2_enum_overrides(spark, sf_dir):
+    """Per-region enum OVERRIDES (the reference's EnumOverrides: a region can
+    remap a raw value before the default map applies). Implemented as a
+    broadcast override table joined ahead of the default mapping — the
+    config-driven shape, not a hand-written CASE."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    overrides = spark.createDataFrame(
+        [(0, "2-HIGH", "CRITICAL")], "ov_region int, ov_raw string, ov_enum string"
+    )
+    default_map = F.create_map(
+        F.lit("1-URGENT"), F.lit("URGENT"),
+        F.lit("2-HIGH"), F.lit("HIGH"),
+        F.lit("3-MEDIUM"), F.lit("MEDIUM"),
+    )
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(overrides),
+            (F.col("n_regionkey") == F.col("ov_region"))
+            & (F.col("o_orderpriority") == F.col("ov_raw")),
+            "left",
+        )
+    )
+    enum = F.coalesce(
+        F.col("ov_enum"), default_map[F.col("o_orderpriority")], F.lit("LOW")
+    )
+    return j.groupBy(enum.alias("priority_enum"), F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n")
+    )
