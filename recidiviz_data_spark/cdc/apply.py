@@ -180,7 +180,10 @@ def _dedup_argmax_fused(raw: DataFrame, payload_cols: list[str]) -> DataFrame:
         F.sum(F.when(F.col("_valid"), 0).otherwise(1)).alias("_n_invalid"),
     )
     wrows = (
-        raw.join(keys.select("doc_id", "event_seq"), ["doc_id", "event_seq"], "inner")
+        # join only VALID rows back: an invalid event sharing the winner's
+        # (doc_id, event_seq) must never supply the applied payload
+        raw.filter("_valid")
+        .join(keys.select("doc_id", "event_seq"), ["doc_id", "event_seq"], "inner")
         .groupBy("doc_id", "event_seq")
         .agg(F.max(F.struct("op", *payload_cols)).alias("_w"))
     )
@@ -202,6 +205,7 @@ def apply_batch(
     compact_files_per_bucket: int = 4,
     cache: bool = True,
     max_invalid_ratio: float | None = None,
+    commit_props: dict | None = None,
 ) -> list[dict]:
     """MERGE one changelog batch into the table. Exactly-once: a batch_id at
     or below the committed watermark is a no-op. Returns lineage rows.
@@ -262,12 +266,13 @@ def apply_batch(
     if cache:
         winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
 
-    affected = sorted(r[BUCKET] for r in winners.select(BUCKET).distinct().collect())
-    if not affected:
-        winners.unpersist()
-        table.commit(added_files=[], last_applied_batch=batch_id, lineage_rows=[],
-                     expected_parent=m["version"])
-        return []
+    # buckets any winner touches: prunes the DECISION read (stale checks need
+    # the target's _seq for every winner doc). The rewrite prunes further, to
+    # buckets with actual changes.
+    affected = sorted(
+        (r[BUCKET] for r in winners.select(BUCKET).distinct().collect()),
+        key=lambda b: (b is None, b),
+    )
 
     # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY (pruned)
     target_min = (
@@ -290,7 +295,7 @@ def apply_batch(
     if cache:
         decisions = decisions.persist(StorageLevel.MEMORY_AND_DISK)
     dec_metrics = {
-        r[BUCKET]: r
+        r[BUCKET]: r.asDict()
         for r in decisions.groupBy(BUCKET)
         .agg(
             F.sum("_n_events").alias("events_in"),
@@ -302,12 +307,16 @@ def apply_batch(
         )
         .collect()
     }
-    if dedup_strategy not in ("agg", "argmax"):  # window paths: separate metrics pass
-        for b, r in dec_metrics.items():
-            d = r.asDict()
-            d["events_in"] = in_rows[b]["_n_events"] if b in in_rows else 0
-            d["invalid"] = in_rows[b]["_n_invalid"] if b in in_rows else 0
-            dec_metrics[b] = d
+    if dedup_strategy not in ("agg", "argmax"):
+        # window paths carry metrics in a separate raw-side pass; buckets whose
+        # events were ALL invalid have no winner rows, so add them here too —
+        # otherwise their invalid counts vanish and the gate undercounts
+        for b, ir in in_rows.items():
+            d = dec_metrics.setdefault(
+                b, {"winners": 0, "applied": 0, "deleted": 0, "stale_winners": 0}
+            )
+            d["events_in"] = ir["_n_events"]
+            d["invalid"] = ir["_n_invalid"]
 
     # error-threshold gate (the reference aborts the persistence write when
     # the scrape's error rate is too high — SURVEY.md §4.1): too many invalid
@@ -330,12 +339,20 @@ def apply_batch(
     )
 
     added: list[dict] = []
+    changed_buckets: set[int] = set()
     if n_changed:
-        # ---- pass 3: copy-on-write rewrite of affected buckets
+        # ---- pass 3: copy-on-write rewrite — ONLY buckets that actually
+        # changed (a stale-heavy replay batch may touch every bucket with
+        # winners yet change none of them; rewriting those would be pure
+        # write amplification)
         changed = decisions.filter(F.col("_cls").isin("applied", "deleted"))
+        changed_buckets = {
+            r[BUCKET] for r in changed.select(BUCKET).distinct().collect()
+        }
         changed_docs = changed.select("doc_id")
         target_full = _align(
-            table.read(spark, buckets=affected, include_internal=True), target_schema
+            table.read(spark, buckets=sorted(changed_buckets), include_internal=True),
+            target_schema,
         )
         kept = target_full.join(changed_docs, "doc_id", "left_anti").withColumn(
             BUCKET, bucket_expr
@@ -358,17 +375,19 @@ def apply_batch(
             files_per_bucket[f["bucket"]] = files_per_bucket.get(f["bucket"], 0) + 1
         need_compact = compact is True or (
             compact == "auto"
-            and any(files_per_bucket.get(b, 0) >= compact_files_per_bucket for b in affected)
+            and any(
+                files_per_bucket.get(b, 0) >= compact_files_per_bucket
+                for b in changed_buckets
+            )
         )
+        n_out = max(len(changed_buckets), 1)
         if need_compact:
             # full re-bucket: one file per bucket after this commit
-            rewrite = kept.unionByName(upserts).repartition(max(len(affected), 1), BUCKET)
+            rewrite = kept.unionByName(upserts).repartition(n_out, BUCKET)
         else:
             # cheap path: target rows stream through the broadcast anti-join
             # unshuffled (their files are bucket-pure); only winners shuffle
-            rewrite = kept.unionByName(
-                upserts.repartition(max(len(affected), 1), BUCKET)
-            )
+            rewrite = kept.unionByName(upserts.repartition(n_out, BUCKET))
         staging = table.staging_dir()
         rewrite.write.partitionBy(BUCKET).parquet(staging)
         schema_id = m["schema_id"] + (1 if schema_changed else 0)
@@ -377,7 +396,7 @@ def apply_batch(
     # ---- lineage rows (FIXTURES.md §A5 reconciliation invariant)
     wall_ms = int((time.monotonic() - t0) * 1000)
     lineage = []
-    for b in sorted(dec_metrics):
+    for b in sorted(dec_metrics, key=lambda x: (x is None, x)):
         r = dec_metrics[b]
         g = (lambda k: (r[k] if not isinstance(r, dict) else r.get(k)) or 0)
         losers = g("events_in") - g("invalid") - g("winners")
@@ -396,11 +415,12 @@ def apply_batch(
 
     table.commit(
         added_files=added,
-        replaced_buckets=set(affected) if n_changed else set(),
+        replaced_buckets=changed_buckets,
         schema_fields=new_fields if schema_changed else None,
         last_applied_batch=batch_id,
         lineage_rows=lineage,
         expected_parent=m["version"],
+        props=commit_props,
     )
     if cache:
         winners.unpersist()

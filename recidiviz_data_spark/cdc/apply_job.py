@@ -28,7 +28,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--upto", type=int, default=None)
-    p.add_argument("--dedup", default="agg", choices=["agg", "window", "salted_window"])
+    p.add_argument("--dedup", default="agg",
+                   choices=["agg", "argmax", "window", "salted_window"])
     p.add_argument("--bootstrap", default=None, help="initial snapshot parquet")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

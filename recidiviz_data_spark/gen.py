@@ -142,7 +142,8 @@ def _inject_copies(spec: ChangelogSpec, ev: dict[str, np.ndarray]) -> dict:
     return {k: np.concatenate([p[k] for p in parts]) for k in ev}
 
 
-def _batch_table(spec: ChangelogSpec, ev: dict, mask: np.ndarray, docs: np.ndarray) -> pa.Table:
+def _batch_table(spec: ChangelogSpec, ev: dict, mask: np.ndarray, docs: np.ndarray,
+                 force_v2: bool | None = None) -> pa.Table:
     seq = ev["seq"][mask]
     # shuffle within the batch (out-of-order arrival; order must not matter)
     order = np.argsort(_hash2(seq.astype(np.uint64), 7), kind="stable")
@@ -158,7 +159,9 @@ def _batch_table(spec: ChangelogSpec, ev: dict, mask: np.ndarray, docs: np.ndarr
     )
     is_del = op == "D"
     tok_col = pa.compute.if_else(pa.array(~is_del), tokens, pa.nulls(len(seq), tokens.type))
-    v2 = bool((sv == 2).any())
+    # schema is decided per BATCH (not per chunk file) so every file in one
+    # batch_id directory agrees physically (int64 n_tok + lang when any v2)
+    v2 = bool((sv == 2).any()) if force_v2 is None else force_v2
     ntok_type = pa.int64() if v2 else pa.int32()
     ntok_col = pa.compute.if_else(
         pa.array(~is_del), pa.array(n_tok, type=ntok_type), pa.nulls(len(seq), ntok_type)
@@ -201,11 +204,12 @@ def gen_changelog(out_dir: str, spec: ChangelogSpec | None = None, **kw) -> Chan
         bdir = os.path.join(out_dir, f"batch_id={b}")
         os.makedirs(bdir, exist_ok=True)
         n_files = max(1, (len(mask_idx) + rows_per_file - 1) // rows_per_file)
+        batch_v2 = bool((ev["sv"][mask_idx] == 2).any())
         for i, chunk in enumerate(np.array_split(mask_idx, n_files)):
             mask = np.zeros(len(ev["batch"]), dtype=bool)
             mask[chunk] = True
             pq.write_table(
-                _batch_table(spec, ev, mask, docs),
+                _batch_table(spec, ev, mask, docs, force_v2=batch_v2),
                 os.path.join(bdir, f"part-{i:04d}.parquet"),
             )
     return spec

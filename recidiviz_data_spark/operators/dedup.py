@@ -23,10 +23,16 @@ def _shingles(spark, sf_dir):
     """Distinct 3-word shingles per doc (native HOFs: split/transform/slice)."""
     d = load(spark, sf_dir, "documents")
     words = F.split(F.trim("text"), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-    )
+    # guard: sequence(1, 0) is DESCENDING in Spark (yields [1, 0] and slice
+    # throws on start=0) — docs with < 3 words produce no shingles, matching
+    # DuckDB's empty generate_series(1, 0)
+    sh = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .distinct()

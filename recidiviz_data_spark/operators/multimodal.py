@@ -31,9 +31,11 @@ def decode_image(payload: bytes):
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, int, int]:
-    """Deterministic FAKE decode: metadata derived from the raw bytes only."""
+    """Deterministic FAKE decode: metadata derived from the raw bytes only.
+    first = code point of the first character (NOT the first byte — matches
+    the SQL oracle's ascii() for non-ASCII text too); -1 when empty."""
     n = len(payload)
-    first = payload[0] if n else -1
+    first = ord(payload.decode("utf-8")[0]) if n else -1
     return n, first, n % 640, (n * 7) % 480, n % 24 + 1
 
 
@@ -50,7 +52,8 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                     ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte,
            CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
            CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
            CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames

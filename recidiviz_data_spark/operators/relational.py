@@ -984,11 +984,17 @@ def udf_grouped_map(spark, sf_dir):
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["value"].to_numpy() * 10000
+        # half-away-from-zero, matching SQL round() (pandas .round() is
+        # banker's half-to-even — the midpoint divergence CLAUDE.md forbids)
+        r = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64")
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "value_e4_sum": [int((pdf["value"] * 10000).round().astype("int64").sum())],
+                "value_e4_sum": [int(r.sum())],
                 "last_event_id": [int(pdf["event_id"].max())],
             }
         )

@@ -72,8 +72,23 @@ def stream_apply_available_now(
     def sink(batch_df, epoch_id: int):
         if batch_df.isEmpty():
             return
-        next_id = table.manifest()["last_applied_batch"] + 1
-        apply_batch(spark, table, batch_df.drop("batch_id"), next_id, **apply_kw)
+        # idempotency key derived from the STREAM EPOCH, anchored to the
+        # table's watermark at the stream's first commit (persisted in table
+        # props): a replayed epoch after a crash between the miniberg commit
+        # and the Spark checkpoint commit maps to the SAME batch_id, which the
+        # watermark makes a clean no-op — true exactly-once, no duplicate
+        # lineage, no double-advanced watermark.
+        m = table.manifest()
+        base = m["props"].get("stream_epoch_base")
+        if base is None:
+            base = m["last_applied_batch"] + 1 - epoch_id
+        batch_id = base + epoch_id
+        if batch_id <= m["last_applied_batch"]:
+            return  # replayed epoch
+        apply_batch(
+            spark, table, batch_df.drop("batch_id"), batch_id,
+            commit_props={"stream_epoch_base": base}, **apply_kw,
+        )
 
     stream = (
         spark.readStream.schema(CHANGELOG_V1_SCHEMA)

@@ -71,20 +71,20 @@ def expire_snapshots(table: Miniberg, *, keep_last: int = 5) -> list[str]:
     """Delete manifests older than the last ``keep_last`` versions, then GC
     data files referenced by NO surviving snapshot. The current version is
     always kept; time travel is limited to the survivors."""
-    current = table.current_version()
-    cutoff = max(current - keep_last + 1, 0)
-    survivors = range(cutoff, current + 1)
+    versions = table.versions()  # only EXISTING manifests (prior expiry may
+    survivors = versions[-keep_last:] or versions[-1:]  # have left gaps)
     keep_files = set()
     for v in survivors:
         for f in table.manifest(v)["files"]:
             keep_files.add(os.path.join(table.root, f["path"]))
 
     removed: list[str] = []
-    for v in range(cutoff):
+    for v in versions:
+        if v in survivors:
+            continue
         p = table._vpath(v)
-        if os.path.exists(p):
-            os.unlink(p)
-            removed.append(p)
+        os.unlink(p)
+        removed.append(p)
     for p in glob.glob(os.path.join(table.data_dir, "*.parquet")):
         if p not in keep_files:
             os.unlink(p)

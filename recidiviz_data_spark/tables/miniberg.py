@@ -256,7 +256,7 @@ class Miniberg:
                     "path": dest_rel,
                     "bucket": bucket,
                     "rows": meta.num_rows,
-                    "bytes": meta.serialized_size,
+                    "bytes": os.path.getsize(os.path.join(self.root, dest_rel)),
                     "schema_id": schema_id,
                 }
             )
