@@ -268,11 +268,15 @@ def apply_batch(
 
     # buckets any winner touches: prunes the DECISION read (stale checks need
     # the target's _seq for every winner doc). The rewrite prunes further, to
-    # buckets with actual changes.
-    affected = sorted(
-        (r[BUCKET] for r in winners.select(BUCKET).distinct().collect()),
-        key=lambda b: (b is None, b),
-    )
+    # buckets with actual changes. Empty table -> nothing to prune, skip the
+    # extra job entirely (bootstrap/first-batch fast path).
+    if not m["files"]:
+        affected: list[int] = []
+    else:
+        affected = sorted(
+            (r[BUCKET] for r in winners.select(BUCKET).distinct().collect()),
+            key=lambda b: (b is None, b),
+        )
 
     # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY (pruned)
     target_min = (
