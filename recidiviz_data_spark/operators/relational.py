@@ -314,8 +314,10 @@ def j4_date_spine(spark, sf_dir):
 def j6_asof_latest(spark, sf_dir):
     """As-of lookup (J6): latest state per key at time t — exactly the
     reference's 'open snapshot valid at t' query over history tables."""
+    # timestamp_ntz literal: comparison stays timezone-free no matter what
+    # session timezone the (driver-owned) SparkSession uses
     e = load(spark, sf_dir, "events").filter(
-        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
@@ -389,10 +391,10 @@ def w2_sessionize(spark, sf_dir):
     pairing re-expressed as a window, not a per-person Python loop."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamp[us] loads as TIMESTAMP_NTZ; cast for unix_micros
-    mu = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = mu - F.lag(mu).over(w)
-    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    # NTZ - NTZ yields a day-time interval: timezone-free (no LTZ cast that
+    # would depend on the session timezone)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_s = F.when(gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), 1).otherwise(0)
     return (
         e.withColumn("new_session", new_s)
         .groupBy("user_id")
@@ -808,7 +810,7 @@ def cdc_snapshot_diff(spark, sf_dir):
             df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("user_id", "value")
         )
 
-    s1 = latest(e.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")))
+    s1 = latest(e.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")))
     s2 = latest(e)
     j = s1.alias("a").join(s2.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer")
     op = (
