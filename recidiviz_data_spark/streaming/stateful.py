@@ -66,6 +66,11 @@ def stream_user_state(spark: SparkSession, sf_dir: str, query_name: str = "_user
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # re-entrant: a previous run's memory-sink table must not accumulate
+    try:
+        spark.catalog.dropTempView(query_name)
+    except Exception:
+        pass
     q = (
         updated.writeStream.outputMode("update")
         .format("memory")
