@@ -224,10 +224,16 @@ def apply_batch(
 
     num_buckets = m["num_buckets"]
     bucket_expr = F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    payload_cols = [c for c in payload_columns(batch_df) if c != "doc_id"]
+    clashes = [c for c in batch_df.columns if c.startswith("_")]
+    if clashes:
+        raise ValueError(
+            f"changelog columns {clashes} collide with the engine's internal "
+            "underscore-prefixed columns (_seq/_deleted/_bucket/...)"
+        )
     raw = batch_df.withColumn(BUCKET, bucket_expr).withColumn(
         "_valid", _validity(batch_df)
     )
-    payload_cols = [c for c in payload_columns(batch_df) if c != "doc_id"]
 
     # ---- schema evolution: table schema grows to cover this batch's payload
     batch_payload_schema = T.StructType(
