@@ -158,7 +158,7 @@ _SIMHASH_SQL = f"""
            FROM tokens, UNNEST(generate_series(0, 31)) t(i)
            GROUP BY doc_id, i),
   sig AS (SELECT doc_id,
-                 SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+                 CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY doc_id)
 """
 

@@ -382,7 +382,7 @@ def w1_rank_dense_ntile(spark, sf_dir):
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )
@@ -415,7 +415,7 @@ def w2_sessionize(spark, sf_dir):
              ON err.user_id = pur.user_id
             AND pur.ts > err.ts AND pur.ts <= err.ts + INTERVAL 7 DAY
            GROUP BY 1, 2)
-    SELECT week, COUNT(*) AS n_errors, SUM(hit) AS n_followed,
+    SELECT week, COUNT(*) AS n_errors, CAST(SUM(hit) AS BIGINT) AS n_followed,
            CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS followup_rate
     FROM per_err GROUP BY week
     """,
@@ -629,8 +629,8 @@ def p3_string_funcs(spark, sf_dir):
     "p4_validate_split",
     """
     SELECT n_name AS nation,
-           SUM(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS n_valid,
-           SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_invalid
+           CAST(SUM(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -936,7 +936,7 @@ def s7_view_materialization(spark, sf_dir):
                       concat(substr(c_name, 1, length(c_name) - 2), 'XX') AS c_name
                FROM customer WHERE c_custkey % 3 = 0)
     SELECT a.c_nationkey AS nation, COUNT(*) AS n_matches,
-           SUM(levenshtein(a.c_name, b.c_name)) AS total_distance
+           CAST(SUM(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS total_distance
     FROM a JOIN b ON a.c_nationkey = b.c_nationkey
                  AND levenshtein(a.c_name, b.c_name) <= 2
     GROUP BY a.c_nationkey

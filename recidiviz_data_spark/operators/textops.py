@@ -31,7 +31,7 @@ STOPWORDS = {
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
            MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens
     FROM documents GROUP BY lang

@@ -42,6 +42,19 @@ def test_entry_smoke(spark):
     assert df.schema.fieldNames()
 
 
+def test_compare_rejects_int_vs_float(spark):
+    """The driver hashes raw values, so int 6 vs float 6.0 must FAIL locally
+    too (round-1 root cause: uncast DuckDB SUM(int) -> HUGEINT -> float64)."""
+    import pandas as pd
+
+    sdf = spark.createDataFrame([(1, 6)], "k int, v long")
+    ok = pd.DataFrame({"k": [1], "v": [6]})
+    compare(sdf, ok, name="int_vs_int")  # same kind: passes
+    bad = pd.DataFrame({"k": [1], "v": [6.0]})
+    with pytest.raises(AssertionError, match="dtype kind"):
+        compare(sdf, bad, name="int_vs_float")
+
+
 def test_rows_only_queries_run(spark):
     """Entries without an oracle still must run and return a DataFrame."""
     for name in sorted(set(QUERIES) - set(ORACLES)):
