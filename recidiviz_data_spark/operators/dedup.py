@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from recidiviz_data_spark.operators.base import _q
+from recidiviz_data_spark.operators.base import _q, _qx
 from recidiviz_data_spark.operators.relational import load
 from recidiviz_data_spark.operators.textops import PHASH_SQL, phash
 
@@ -125,17 +125,34 @@ _MINHASH_SQL = f"""
 def d_minhash_lsh(spark, sf_dir):
     """MinHash+LSH: shingle -> k=8 minhash signature -> 4 bands of 2 ->
     bucket-join on band value. Candidate pairs = docs agreeing on >=1 band.
-    The band bucket-join is the 100TB-scale path (no pairwise work)."""
+    The band bucket-join is the 100TB-scale path (no pairwise work).
+
+    All 8 hash lanes are computed as columns on each (doc, shingle) row and
+    min-aggregated in ONE groupBy(doc_id) — no 8x row explode before the
+    shuffle (that blowup made this the slowest contract query in round 1);
+    the only explode left is 4 band rows per DOC after aggregation."""
     sh = _shingles(spark, sf_dir)
-    hashed = (
-        sh.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("j"), "shingle")
-        .groupBy("doc_id", "j")
-        .agg(F.min(phash(F.concat(F.col("shingle"), F.lit("#"), F.col("j").cast("string")))).alias("mh"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(phash(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ]
     )
-    bands = hashed.groupBy("doc_id", (F.col("j") / 2).cast("int").alias("band")).agg(
-        F.min(F.when(F.col("j") % 2 == 0, F.col("mh"))).alias("h_lo"),
-        F.min(F.when(F.col("j") % 2 == 1, F.col("mh"))).alias("h_hi"),
-    )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"mh{2 * b}").alias("h_lo"),
+                        F.col(f"mh{2 * b + 1}").alias("h_hi"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.h_lo", "bs.h_hi")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -197,6 +214,66 @@ def _simhash_sig(spark, sf_dir):
 
 
 @_q(
+    "d_simhash_banded",
+    f"""
+    WITH {_SIMHASH_SQL},
+    bandrows AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bits
+                 FROM sig, UNNEST(generate_series(0, 3)) t(band)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                    a.simhash AS s1, b.simhash AS s2
+             FROM bandrows a JOIN bandrows b
+               ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+    SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 2
+    """,
+)
+def d_simhash_banded(spark, sf_dir):
+    """Banded SimHash near-dup — the 100TB scale path: split the 32-bit
+    signature into 4 bands of 8 bits, equi-join on (band, band_bits), and
+    compute exact hamming only within shared-band candidates. Pigeonhole:
+    hamming <= 2 flips at most 2 bands, so every qualifying pair agrees on
+    >= 2 of 4 bands and is guaranteed to surface — identical output to the
+    all-pairs scan ``d_simhash_neardup`` (kept as the pytest oracle), with
+    the O(n²) cross join replaced by a bucket equi-join."""
+    sig = _simhash_sig(spark, sf_dir)
+    bandrows = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", "bs.band", "bs.bits")
+    a, b = bandrows.alias("a"), bandrows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.select("d1", "d2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 2
+    )
+
+
+@_qx(
     "d_simhash_neardup",
     f"""
     WITH {_SIMHASH_SQL}
@@ -207,9 +284,9 @@ def _simhash_sig(spark, sf_dir):
     """,
 )
 def d_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 2). The bounded pairwise scan is for
-    verification at test scale; at 100TB one buckets by simhash prefix bands
-    first (same trick as MinHash LSH)."""
+    """SimHash near-dup pairs (hamming <= 2), all-pairs scan: the test-scale
+    verification oracle for ``d_simhash_banded`` (the banded bucket-join is
+    the scale path; this O(n²) form exists only to prove it exact)."""
     sig = _simhash_sig(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

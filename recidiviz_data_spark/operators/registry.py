@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import importlib
 
-from recidiviz_data_spark.operators.base import ORACLES, QUERIES  # noqa: F401
+from recidiviz_data_spark.operators.base import (  # noqa: F401
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+)
 
 for _name in ("relational", "textops", "dedup", "similarity", "multimodal", "cdcops", "statefulops"):
     try:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recidiviz_data_spark.operators.base import _q
+from recidiviz_data_spark.operators.base import _q, _qx
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -115,7 +115,7 @@ def a6_cube(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "a6_rollup_orderdate",
     """
     SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
@@ -222,7 +222,7 @@ def j1_semi_join(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "j1_anti_join",
     """
     SELECT c_mktsegment AS segment, COUNT(*) AS n_customers_without_orders
@@ -348,7 +348,7 @@ def w1_topk_per_group(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "w1_rank_dense_ntile",
     """
     SELECT o_orderpriority AS priority,
@@ -526,7 +526,7 @@ def u1_stitch_precedence(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "u1_union_schema_evolution",
     """
     SELECT source, COUNT(*) AS n, COUNT(extra) AS n_with_extra
@@ -735,7 +735,7 @@ def f_hash_bucket_lineage(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "f_pivot",
     """
     SELECT l_returnflag AS returnflag,
@@ -782,7 +782,7 @@ def a5_lww_state(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "cdc_snapshot_diff",
     """
     WITH s1 AS (SELECT user_id, value FROM (
@@ -1035,7 +1035,7 @@ def s6_parquet_export(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "f_safe_divide",
     """
     SELECT l_returnflag AS flag,
@@ -1062,7 +1062,7 @@ def f_safe_divide(spark, sf_dir):
     )
 
 
-@_q(
+@_qx(
     "p2_enum_overrides",
     """
     SELECT CASE

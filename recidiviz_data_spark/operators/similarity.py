@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recidiviz_data_spark.operators.base import _q
+from recidiviz_data_spark.operators.base import _q, _qx
 from recidiviz_data_spark.operators.relational import load
 from recidiviz_data_spark.operators.textops import PHASH_SQL, phash
 
@@ -69,7 +69,7 @@ def e_vector_stats(spark, sf_dir):
 _COS_SQL = "list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2)"
 
 
-@_q(
+@_qx(
     "e_cosine_neardup",
     f"""
     WITH {_SCALED_SQL}
@@ -206,11 +206,27 @@ def e_ann_lsh_bucketed(spark, sf_dir):
     return cand.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").drop("rn")
 
 
-# IVF: deterministic seed centroids (every 31st vector). Lloyd refinement is
-# a repeated join + elementwise-avg groupBy (omitted here — the verified scale
-# mechanics are the coarse assignment and cell-probed search).
+# IVF: deterministic seed centroids (every 31st vector) refined by one Lloyd
+# iteration. Centroid components are floor(mean) on the int-scaled vectors so
+# the k-means step stays in exact integer arithmetic in both engines (IEEE
+# double division of exact ints + floor is bit-portable); distances are then
+# exact integers again.
 _IVF_SQL = f"""
-  cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM iv WHERE vec_id % 31 = 0),
+  cents0 AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM iv WHERE vec_id % 31 = 0),
+  assign0 AS (
+    SELECT vec_id, cent_id FROM (
+      SELECT iv.vec_id, cents0.cent_id,
+             row_number() OVER (PARTITION BY iv.vec_id
+                                ORDER BY iv.n2 + cents0.cn2 - 2 * list_dot_product(iv.v, cents0.cv),
+                                         cents0.cent_id) AS rn
+      FROM iv, cents0) WHERE rn = 1),
+  dims AS (SELECT a.cent_id, t.d, iv.v[t.d] AS x
+           FROM iv JOIN assign0 a USING (vec_id),
+                UNNEST(generate_series(1, 64)) t(d)),
+  newc AS (SELECT cent_id, d, CAST(floor(SUM(x) / COUNT(*)) AS BIGINT) AS cx
+           FROM dims GROUP BY cent_id, d),
+  cents1 AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM newc GROUP BY cent_id),
+  cents AS (SELECT cent_id, cv, list_dot_product(cv, cv) AS cn2 FROM cents1),
   assign AS (
     SELECT vec_id, cent_id, dist2 FROM (
       SELECT iv.vec_id, cents.cent_id,
@@ -222,9 +238,7 @@ _IVF_SQL = f"""
 """
 
 
-@_q(
-    "e_ann_ivf",
-    f"""
+_IVF_ORACLE = f"""
     WITH {_SCALED_SQL},
     {_IVF_SQL},
     cand AS (
@@ -240,28 +254,69 @@ _IVF_SQL = f"""
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn FROM cand)
     WHERE rn <= 3
-    """,
-)
-def e_ann_ivf(spark, sf_dir):
-    """IVF ANN: coarse quantizer (nearest seed centroid by exact L2 on the
-    int-scaled vectors) partitions the corpus into cells; a query probes only
-    its own cell (nprobe=1) and ranks candidates by exact cosine. At 100TB
-    the cell assignment is a write-time partition key — search touches one
-    cell's files, never the corpus."""
-    iv = _scaled(spark, sf_dir)
-    cents = iv.filter("vec_id % 31 = 0").select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
-    )
+    """
+
+
+def _nearest_cent(iv, cents):
+    """Assign each vector to its nearest centroid (exact squared L2 on the
+    int-scaled vectors, centroid-id tiebreak). Centroids broadcast — the
+    corpus is never shuffled for assignment."""
     dist2 = F.col("n2") + F.col("cn2") - 2 * _dot(F.col("v"), F.col("cv"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cent_id"))
-    assign = (
+    return (
         iv.crossJoin(F.broadcast(cents))
         .withColumn("dist2", dist2)
         .withColumn("rn", F.row_number().over(w_assign))
         .filter("rn = 1")
-        .select("vec_id", "cent_id")
+        .select("vec_id", "cent_id", "dist2")
     )
-    ivc = iv.join(assign, "vec_id")
+
+
+def _lloyd_step(iv, assign):
+    """One Lloyd iteration: recompute each cell's centroid as the elementwise
+    floor(mean) of its members (exact: IEEE division of exact ints + floor is
+    bit-portable, and distances return to pure integer arithmetic).
+    posexplode -> groupBy(cell, dim) -> re-assemble with sort_array."""
+    dims = iv.join(assign.select("vec_id", "cent_id"), "vec_id").select(
+        "cent_id", F.posexplode("v").alias("d", "x")
+    )
+    newc = (
+        dims.groupBy("cent_id", "d")
+        .agg(F.floor(F.sum("x") / F.count("*")).alias("cx"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s["cx"]
+            ).alias("cv")
+        )
+    )
+    return newc.withColumn("cn2", _dot(F.col("cv"), F.col("cv")).cast("double"))
+
+
+def ivf_assign(spark, sf_dir, lloyd_iters: int = 1):
+    """Seed centroids (every 31st vector) + `lloyd_iters` refinement passes.
+    Returns the final per-vector (vec_id, cent_id, dist2) assignment."""
+    iv = _scaled(spark, sf_dir)
+    cents = iv.filter("vec_id % 31 = 0").select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+    )
+    assign = _nearest_cent(iv, cents)
+    for _ in range(lloyd_iters):
+        cents = _lloyd_step(iv, assign)
+        assign = _nearest_cent(iv, cents)
+    return iv, assign
+
+
+@_q("e_ann_ivf", _IVF_ORACLE)
+def e_ann_ivf(spark, sf_dir):
+    """IVF ANN: coarse quantizer (nearest centroid by exact L2 on the
+    int-scaled vectors; seed centroids refined by one Lloyd iteration)
+    partitions the corpus into cells; a query probes only its own cell
+    (nprobe=1) and ranks candidates by exact cosine. At 100TB the cell
+    assignment is a write-time partition key — search touches one cell's
+    files, never the corpus."""
+    iv, assign = ivf_assign(spark, sf_dir, lloyd_iters=1)
+    ivc = iv.join(assign.select("vec_id", "cent_id"), "vec_id")
     qa = ivc.filter("vec_id < 10").alias("a")
     ba = ivc.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")).cast("double") / F.sqrt(

@@ -15,6 +15,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.01")
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# pytest-only queries (the driver checks at most the first 50 queries()
+# entries, so these register outside the driver contract — same oracles,
+# same exactness bar)
+from recidiviz_data_spark.operators import registry as _registry  # noqa: E402
+
+EXTRA_QUERIES = dict(_registry.EXTRA_QUERIES)
+EXTRA_ORACLES = dict(_registry.EXTRA_ORACLES)
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -29,10 +37,27 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+def test_registry_within_driver_cap():
+    """The driver checks at most the first 50 queries() entries (round-1
+    CORRECTNESS held exactly the first 50 in dict order). Everything past the
+    cap would silently go unchecked — keep the registry at the cap exactly."""
+    from recidiviz_data_spark.operators.base import DRIVER_QUERY_CAP
+
+    assert len(QUERIES) <= DRIVER_QUERY_CAP, sorted(QUERIES)
+    assert not set(QUERIES) & set(EXTRA_QUERIES)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
     expected = duck.execute(ORACLES[name]).df()
+    compare(df, expected, name=name)
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
+def test_extra_query_matches_oracle(spark, duck, name):
+    df = EXTRA_QUERIES[name](spark, SF_DIR)
+    expected = duck.execute(EXTRA_ORACLES[name]).df()
     compare(df, expected, name=name)
 
 
