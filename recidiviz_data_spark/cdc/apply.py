@@ -59,6 +59,12 @@ BUCKET = "_bucket"
 SEQ = "_seq"
 DELETED = "_deleted"
 
+# decision-read pruning ("auto"): collecting the batch's distinct buckets
+# costs one extra Spark job; only pay it when the target is big enough that
+# an unpruned 2-column (doc_id, _seq) scan would cost more than the job
+# round-trip. At lake scale this always prunes; small tables skip the job.
+DECISION_PRUNE_MIN_BYTES = 1 << 30
+
 
 class InvalidBatchError(Exception):
     """Batch rejected by the invalid-event threshold gate (no commit)."""
@@ -206,16 +212,24 @@ def apply_batch(
     cache: bool = True,
     max_invalid_ratio: float | None = None,
     commit_props: dict | None = None,
+    decision_prune: bool | str = "auto",
 ) -> list[dict]:
     """MERGE one changelog batch into the table. Exactly-once: a batch_id at
     or below the committed watermark is a no-op. Returns lineage rows.
 
     Per batch this runs ONE wide shuffle over the events (the LWW dedup; the
     upsert rows are re-shuffled once more, but that set is winners-only), two
-    bucket-pruned target reads (a 2-column decision read + the rewrite read),
+    target reads (a 2-column decision read + the rewrite read — both
+    bucket-pruned, the decision read adaptively per ``decision_prune``),
     and one partitioned write. ``compact='auto'`` re-buckets the whole rewrite
     only when a bucket's file count exceeds ``compact_files_per_bucket``,
     otherwise target rows stream through the broadcast anti-join unshuffled.
+
+    Driver-synchronous work is kept to the minimum: 2 collect jobs + 1 write
+    per batch on the common path (metrics/changed-bucket selection share one
+    aggregation; the decision-prune job is skipped below
+    ``DECISION_PRUNE_MIN_BYTES``) — the serial term that bounds scaling at
+    high executor counts.
     """
     t0 = time.monotonic()
     m = table.manifest()
@@ -269,172 +283,190 @@ def apply_batch(
         )
     if normalize:
         winners = normalize_tokens_native(winners)  # winners only — cheap
-    if cache:
-        winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
 
     # buckets any winner touches: prunes the DECISION read (stale checks need
     # the target's _seq for every winner doc). The rewrite prunes further, to
     # buckets with actual changes. Empty table -> nothing to prune, skip the
-    # extra job entirely (bootstrap/first-batch fast path).
-    if not m["files"]:
-        affected: list[int] = []
-    else:
-        affected = sorted(
-            (r[BUCKET] for r in winners.select(BUCKET).distinct().collect()),
-            key=lambda b: (b is None, b),
-        )
-
-    # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY (pruned)
-    target_min = (
-        table.read(spark, buckets=affected, include_internal=True)
-        .select("doc_id", F.col(SEQ).alias("_t_seq"))
+    # extra job entirely (bootstrap/first-batch fast path). On a small target
+    # ("auto" below DECISION_PRUNE_MIN_BYTES) the distinct-bucket collect job
+    # costs more than the unpruned 2-column scan it would save — skip it.
+    total_target_bytes = sum(f.get("bytes", 0) for f in m["files"])
+    prune = decision_prune is True or (
+        decision_prune == "auto" and total_target_bytes >= DECISION_PRUNE_MIN_BYTES
     )
-    # staleness compares against the row's _seq watermark, INCLUDING tombstone
-    # rows — that is why deletes must leave a tombstone: a stale update that
-    # arrives after a delete would otherwise resurrect the doc.
-    cls = (
-        F.when(F.col("event_seq").isNull(), F.lit("invalid_only"))
-        .when(
-            F.col("_t_seq").isNotNull() & (F.col("event_seq") <= F.col("_t_seq")),
-            F.lit("stale"),
-        )
-        .when(F.col("op") == "D", F.lit("deleted"))
-        .otherwise(F.lit("applied"))
-    )
-    decisions = winners.join(target_min, "doc_id", "left").withColumn("_cls", cls)
-    if cache:
-        decisions = decisions.persist(StorageLevel.MEMORY_AND_DISK)
-    dec_metrics = {
-        r[BUCKET]: r.asDict()
-        for r in decisions.groupBy(BUCKET)
-        .agg(
-            F.sum("_n_events").alias("events_in"),
-            F.sum("_n_invalid").alias("invalid"),
-            F.count(F.col("event_seq")).alias("winners"),
-            F.sum(F.when(F.col("_cls") == "applied", 1).otherwise(0)).alias("applied"),
-            F.sum(F.when(F.col("_cls") == "deleted", 1).otherwise(0)).alias("deleted"),
-            F.sum(F.when(F.col("_cls") == "stale", 1).otherwise(0)).alias("stale_winners"),
-        )
-        .collect()
-    }
-    if dedup_strategy not in ("agg", "argmax"):
-        # window paths carry metrics in a separate raw-side pass; buckets whose
-        # events were ALL invalid have no winner rows, so add them here too —
-        # otherwise their invalid counts vanish and the gate undercounts
-        for b, ir in in_rows.items():
-            d = dec_metrics.setdefault(
-                b, {"winners": 0, "applied": 0, "deleted": 0, "stale_winners": 0}
-            )
-            d["events_in"] = ir["_n_events"]
-            d["invalid"] = ir["_n_invalid"]
-
-    # error-threshold gate (the reference aborts the persistence write when
-    # the scrape's error rate is too high — SURVEY.md §4.1): too many invalid
-    # events means the upstream is broken; abort BEFORE any file is written,
-    # leaving the table untouched (no commit, watermark unchanged).
-    if max_invalid_ratio is not None:
-        tot = sum((r["events_in"] or 0) for r in _rows_or_dicts(dec_metrics))
-        bad = sum((r["invalid"] or 0) for r in _rows_or_dicts(dec_metrics))
-        if tot and bad / tot > max_invalid_ratio:
+    persisted: list[DataFrame] = []
+    try:
+        if not m["files"]:
+            affected: list[int] | None = []
+        elif prune:
+            # pruning gives winners TWO consumers (this collect + the decision
+            # join) — persist; the unpruned path consumes winners exactly once
+            # (inside the decisions persist), so caching them would be waste
             if cache:
-                winners.unpersist()
-                decisions.unpersist()
-            raise InvalidBatchError(
-                f"batch {batch_id}: invalid ratio {bad}/{tot} exceeds "
-                f"{max_invalid_ratio}; aborting before write"
+                winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(winners)
+            affected = sorted(
+                (r[BUCKET] for r in winners.select(BUCKET).distinct().collect()),
+                key=lambda b: (b is None, b),
             )
-
-    n_changed = sum(
-        (r["applied"] or 0) + (r["deleted"] or 0) for r in _rows_or_dicts(dec_metrics)
-    )
-
-    added: list[dict] = []
-    changed_buckets: set[int] = set()
-    if n_changed:
-        # ---- pass 3: copy-on-write rewrite — ONLY buckets that actually
-        # changed (a stale-heavy replay batch may touch every bucket with
-        # winners yet change none of them; rewriting those would be pure
-        # write amplification)
-        changed = decisions.filter(F.col("_cls").isin("applied", "deleted"))
-        changed_buckets = {
-            r[BUCKET] for r in changed.select(BUCKET).distinct().collect()
-        }
-        changed_docs = changed.select("doc_id")
-        target_full = _align(
-            table.read(spark, buckets=sorted(changed_buckets), include_internal=True),
-            target_schema,
-        )
-        kept = target_full.join(changed_docs, "doc_id", "left_anti").withColumn(
-            BUCKET, bucket_expr
-        )
-        # applied -> live row; deleted -> tombstone (payload nulled, _seq kept)
-        tombstoned = changed
-        for c in payload_cols:
-            tombstoned = tombstoned.withColumn(
-                c, F.when(F.col("_cls") == "deleted", F.lit(None)).otherwise(F.col(c))
-            )
-        upserts = _align(
-            tombstoned.withColumn(SEQ, F.col("event_seq")).withColumn(
-                DELETED, F.col("_cls") == "deleted"
-            ),
-            target_schema,
-        ).withColumn(BUCKET, bucket_expr)
-
-        files_per_bucket = {}
-        for f in m["files"]:
-            files_per_bucket[f["bucket"]] = files_per_bucket.get(f["bucket"], 0) + 1
-        need_compact = compact is True or (
-            compact == "auto"
-            and any(
-                files_per_bucket.get(b, 0) >= compact_files_per_bucket
-                for b in changed_buckets
-            )
-        )
-        n_out = max(len(changed_buckets), 1)
-        if need_compact:
-            # full re-bucket: one file per bucket after this commit
-            rewrite = kept.unionByName(upserts).repartition(n_out, BUCKET)
         else:
-            # cheap path: target rows stream through the broadcast anti-join
-            # unshuffled (their files are bucket-pure); only winners shuffle
-            rewrite = kept.unionByName(upserts.repartition(n_out, BUCKET))
-        staging = table.staging_dir()
-        rewrite.write.partitionBy(BUCKET).parquet(staging)
-        schema_id = m["schema_id"] + (1 if schema_changed else 0)
-        added = table.collect_staged_files(staging, schema_id)
+            affected = None  # decision read covers all buckets
 
-    # ---- lineage rows (FIXTURES.md §A5 reconciliation invariant)
-    wall_ms = int((time.monotonic() - t0) * 1000)
-    lineage = []
-    for b in sorted(dec_metrics, key=lambda x: (x is None, x)):
-        r = dec_metrics[b]
-        g = (lambda k: (r[k] if not isinstance(r, dict) else r.get(k)) or 0)
-        losers = g("events_in") - g("invalid") - g("winners")
-        lineage.append(
-            {
-                "batch_id": batch_id,
-                "bucket": b,
-                "events_in": int(g("events_in")),
-                "applied": int(g("applied")),
-                "deleted": int(g("deleted")),
-                "skipped_stale": int(g("stale_winners") + losers),
-                "invalid": int(g("invalid")),
-                "wall_ms": wall_ms,
-            }
+        # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY
+        target_min = (
+            table.read(spark, buckets=affected, include_internal=True)
+            .select("doc_id", F.col(SEQ).alias("_t_seq"))
+        )
+        # staleness compares against the row's _seq watermark, INCLUDING
+        # tombstone rows — that is why deletes must leave a tombstone: a stale
+        # update that arrives after a delete would otherwise resurrect the doc.
+        cls = (
+            F.when(F.col("event_seq").isNull(), F.lit("invalid_only"))
+            .when(
+                F.col("_t_seq").isNotNull() & (F.col("event_seq") <= F.col("_t_seq")),
+                F.lit("stale"),
+            )
+            .when(F.col("op") == "D", F.lit("deleted"))
+            .otherwise(F.lit("applied"))
+        )
+        decisions = winners.join(target_min, "doc_id", "left").withColumn("_cls", cls)
+        if cache:
+            decisions = decisions.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(decisions)
+        dec_metrics = {
+            r[BUCKET]: r.asDict()
+            for r in decisions.groupBy(BUCKET)
+            .agg(
+                F.sum("_n_events").alias("events_in"),
+                F.sum("_n_invalid").alias("invalid"),
+                F.count(F.col("event_seq")).alias("winners"),
+                F.sum(F.when(F.col("_cls") == "applied", 1).otherwise(0)).alias("applied"),
+                F.sum(F.when(F.col("_cls") == "deleted", 1).otherwise(0)).alias("deleted"),
+                F.sum(F.when(F.col("_cls") == "stale", 1).otherwise(0)).alias("stale_winners"),
+            )
+            .collect()
+        }
+        if dedup_strategy not in ("agg", "argmax"):
+            # window paths carry metrics in a separate raw-side pass; buckets
+            # whose events were ALL invalid have no winner rows, so add them
+            # here too — otherwise their invalid counts vanish and the gate
+            # undercounts
+            for b, ir in in_rows.items():
+                d = dec_metrics.setdefault(
+                    b, {"winners": 0, "applied": 0, "deleted": 0, "stale_winners": 0}
+                )
+                d["events_in"] = ir["_n_events"]
+                d["invalid"] = ir["_n_invalid"]
+
+        # error-threshold gate (the reference aborts the persistence write when
+        # the scrape's error rate is too high — SURVEY.md §4.1): too many
+        # invalid events means the upstream is broken; abort BEFORE any file is
+        # written, leaving the table untouched (no commit, watermark unchanged).
+        if max_invalid_ratio is not None:
+            tot = sum((r["events_in"] or 0) for r in _rows_or_dicts(dec_metrics))
+            bad = sum((r["invalid"] or 0) for r in _rows_or_dicts(dec_metrics))
+            if tot and bad / tot > max_invalid_ratio:
+                raise InvalidBatchError(
+                    f"batch {batch_id}: invalid ratio {bad}/{tot} exceeds "
+                    f"{max_invalid_ratio}; aborting before write"
+                )
+
+        n_changed = sum(
+            (r["applied"] or 0) + (r["deleted"] or 0) for r in _rows_or_dicts(dec_metrics)
         )
 
-    table.commit(
-        added_files=added,
-        replaced_buckets=changed_buckets,
-        schema_fields=new_fields if schema_changed else None,
-        last_applied_batch=batch_id,
-        lineage_rows=lineage,
-        expected_parent=m["version"],
-        props=commit_props,
-    )
-    if cache:
-        winners.unpersist()
-        decisions.unpersist()
+        added: list[dict] = []
+        changed_buckets: set[int] = set()
+        if n_changed:
+            # ---- pass 3: copy-on-write rewrite — ONLY buckets that actually
+            # changed (a stale-heavy replay batch may touch every bucket with
+            # winners yet change none of them; rewriting those would be pure
+            # write amplification). The changed-bucket set falls out of the
+            # per-bucket metrics already collected — no extra Spark job.
+            changed = decisions.filter(F.col("_cls").isin("applied", "deleted"))
+            changed_buckets = {
+                b
+                for b, r in dec_metrics.items()
+                if ((r.get("applied") or 0) + (r.get("deleted") or 0)) > 0
+            }
+            changed_docs = changed.select("doc_id")
+            target_full = _align(
+                table.read(spark, buckets=sorted(changed_buckets), include_internal=True),
+                target_schema,
+            )
+            kept = target_full.join(changed_docs, "doc_id", "left_anti").withColumn(
+                BUCKET, bucket_expr
+            )
+            # applied -> live row; deleted -> tombstone (payload nulled, _seq kept)
+            tombstoned = changed
+            for c in payload_cols:
+                tombstoned = tombstoned.withColumn(
+                    c, F.when(F.col("_cls") == "deleted", F.lit(None)).otherwise(F.col(c))
+                )
+            upserts = _align(
+                tombstoned.withColumn(SEQ, F.col("event_seq")).withColumn(
+                    DELETED, F.col("_cls") == "deleted"
+                ),
+                target_schema,
+            ).withColumn(BUCKET, bucket_expr)
+
+            files_per_bucket = {}
+            for f in m["files"]:
+                files_per_bucket[f["bucket"]] = files_per_bucket.get(f["bucket"], 0) + 1
+            need_compact = compact is True or (
+                compact == "auto"
+                and any(
+                    files_per_bucket.get(b, 0) >= compact_files_per_bucket
+                    for b in changed_buckets
+                )
+            )
+            n_out = max(len(changed_buckets), 1)
+            if need_compact:
+                # full re-bucket: one file per bucket after this commit
+                rewrite = kept.unionByName(upserts).repartition(n_out, BUCKET)
+            else:
+                # cheap path: target rows stream through the broadcast anti-join
+                # unshuffled (their files are bucket-pure); only winners shuffle
+                rewrite = kept.unionByName(upserts.repartition(n_out, BUCKET))
+            staging = table.staging_dir()
+            rewrite.write.partitionBy(BUCKET).parquet(staging)
+            schema_id = m["schema_id"] + (1 if schema_changed else 0)
+            added = table.collect_staged_files(staging, schema_id)
+
+        # ---- lineage rows (FIXTURES.md §A5 reconciliation invariant)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = []
+        for b in sorted(dec_metrics, key=lambda x: (x is None, x)):
+            r = dec_metrics[b]
+            g = (lambda k: (r[k] if not isinstance(r, dict) else r.get(k)) or 0)
+            losers = g("events_in") - g("invalid") - g("winners")
+            lineage.append(
+                {
+                    "batch_id": batch_id,
+                    "bucket": b,
+                    "events_in": int(g("events_in")),
+                    "applied": int(g("applied")),
+                    "deleted": int(g("deleted")),
+                    "skipped_stale": int(g("stale_winners") + losers),
+                    "invalid": int(g("invalid")),
+                    "wall_ms": wall_ms,
+                }
+            )
+
+        table.commit(
+            added_files=added,
+            replaced_buckets=changed_buckets,
+            schema_fields=new_fields if schema_changed else None,
+            last_applied_batch=batch_id,
+            lineage_rows=lineage,
+            expected_parent=m["version"],
+            props=commit_props,
+        )
+    finally:
+        # unpersist on EVERY exit path (success, gate abort, write failure,
+        # commit conflict) — a leaked persist lives for the session lifetime
+        for df in persisted:
+            df.unpersist()
     return lineage
 
 

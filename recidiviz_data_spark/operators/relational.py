@@ -986,12 +986,12 @@ def udf_grouped_map(spark, sf_dir):
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+        from recidiviz_data_spark.functions.rounding import round_half_away
 
         v = pdf["value"].to_numpy() * 10000
-        # half-away-from-zero, matching SQL round() (pandas .round() is
-        # banker's half-to-even — the midpoint divergence CLAUDE.md forbids)
-        r = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64")
+        # exact SQL round() (half away from zero; pandas .round() is banker's
+        # and floor(v+0.5) breaks at midpoint-adjacent doubles — CLAUDE.md)
+        r = round_half_away(v).astype("int64")
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

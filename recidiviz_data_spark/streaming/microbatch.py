@@ -56,6 +56,22 @@ CHANGELOG_V1_SCHEMA = T.StructType(
 )
 
 
+def _checkpoint_identity(checkpoint_dir: str) -> str:
+    """The Spark streaming-query id from ``<checkpoint>/metadata`` — stable
+    across restarts of the SAME checkpoint, different for a recreated one.
+    Epoch ids restart from 0 when a checkpoint is recreated, so the
+    epoch->batch_id mapping must be scoped to this identity."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(p) as f:
+            return str(_json.load(f)["id"])
+    except (OSError, ValueError, KeyError):
+        return "unknown"
+
+
 def stream_apply_available_now(
     spark: SparkSession,
     table: Miniberg,
@@ -67,27 +83,45 @@ def stream_apply_available_now(
 ) -> None:
     """Structured-Streaming drive of the same MERGE: each source micro-batch
     is applied as one engine batch keyed past the current watermark; the
-    sink's manifest watermark makes epoch replays no-ops (exactly-once)."""
+    sink's manifest watermark makes epoch replays no-ops (exactly-once).
+
+    The epoch->batch_id mapping is scoped to the CHECKPOINT IDENTITY and an
+    epoch is skipped only when the table props prove THIS checkpoint already
+    committed it — so neither a recreated checkpoint (epochs restart at 0)
+    nor an interleaved batch writer advancing the watermark can silently drop
+    new data. When a foreign writer has moved the watermark past the mapped
+    id, the mapping is re-based to watermark+1 (exactly-once still holds:
+    replays of a committed epoch match the persisted last-epoch marker)."""
 
     def sink(batch_df, epoch_id: int):
         if batch_df.isEmpty():
             return
         # idempotency key derived from the STREAM EPOCH, anchored to the
         # table's watermark at the stream's first commit (persisted in table
-        # props): a replayed epoch after a crash between the miniberg commit
-        # and the Spark checkpoint commit maps to the SAME batch_id, which the
-        # watermark makes a clean no-op — true exactly-once, no duplicate
-        # lineage, no double-advanced watermark.
+        # props per checkpoint id): a replayed epoch after a crash between the
+        # miniberg commit and the Spark checkpoint commit maps to the SAME
+        # batch_id, which the watermark makes a clean no-op — true
+        # exactly-once, no duplicate lineage, no double-advanced watermark.
+        ckpt = _checkpoint_identity(checkpoint_dir)
+        base_key = f"stream_epoch_base:{ckpt}"
+        epoch_key = f"stream_last_epoch:{ckpt}"
         m = table.manifest()
-        base = m["props"].get("stream_epoch_base")
+        props = m["props"]
+        base = props.get(base_key)
+        last_epoch = props.get(epoch_key)
         if base is None:
             base = m["last_applied_batch"] + 1 - epoch_id
         batch_id = base + epoch_id
         if batch_id <= m["last_applied_batch"]:
-            return  # replayed epoch
+            if last_epoch is not None and epoch_id <= last_epoch:
+                return  # proven replay: THIS checkpoint already committed it
+            # a foreign writer advanced the watermark past our mapping —
+            # re-base so this NEW epoch's data is not silently dropped
+            base = m["last_applied_batch"] + 1 - epoch_id
+            batch_id = base + epoch_id
         apply_batch(
             spark, table, batch_df.drop("batch_id"), batch_id,
-            commit_props={"stream_epoch_base": base}, **apply_kw,
+            commit_props={base_key: base, epoch_key: epoch_id}, **apply_kw,
         )
 
     stream = (

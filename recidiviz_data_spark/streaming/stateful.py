@@ -28,14 +28,14 @@ OUT_SCHEMA = "user_id bigint, n_events bigint, value_e4_sum bigint, last_event_i
 def _update_user_state(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    import numpy as np
+    from recidiviz_data_spark.functions.rounding import round_half_away
 
     n, vsum, last = state.get if state.exists else (0, 0, -1)
     for pdf in pdfs:
         n += len(pdf)
         v = pdf["value"].to_numpy() * 10000
-        # half-away-from-zero to match SQL round() (not pandas banker's)
-        vsum += int(np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64").sum())
+        # exact SQL round() (half away from zero, midpoint-adjacent safe)
+        vsum += int(round_half_away(v).astype("int64").sum())
         last = max(last, int(pdf["event_id"].max()))
     state.update((n, vsum, last))
     yield pd.DataFrame(

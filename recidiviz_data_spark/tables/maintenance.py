@@ -67,10 +67,19 @@ def compact(
     )
 
 
-def expire_snapshots(table: Miniberg, *, keep_last: int = 5) -> list[str]:
+def expire_snapshots(
+    table: Miniberg, *, keep_last: int = 5, grace_seconds: float = 3600.0
+) -> list[str]:
     """Delete manifests older than the last ``keep_last`` versions, then GC
     data files referenced by NO surviving snapshot. The current version is
-    always kept; time travel is limited to the survivors."""
+    always kept; time travel is limited to the survivors.
+
+    ``grace_seconds``: unreferenced data files younger than this are kept —
+    a concurrent writer stages files into data/ BEFORE its manifest CAS, so
+    deleting fresh unreferenced files could strand a commit that is about to
+    succeed. Pass 0 only when no writer can be in flight."""
+    import time as _time
+
     versions = table.versions()  # only EXISTING manifests (prior expiry may
     survivors = versions[-keep_last:] or versions[-1:]  # have left gaps)
     keep_files = set()
@@ -85,8 +94,9 @@ def expire_snapshots(table: Miniberg, *, keep_last: int = 5) -> list[str]:
         p = table._vpath(v)
         os.unlink(p)
         removed.append(p)
+    now = _time.time()
     for p in glob.glob(os.path.join(table.data_dir, "*.parquet")):
-        if p not in keep_files:
+        if p not in keep_files and now - os.path.getmtime(p) >= grace_seconds:
             os.unlink(p)
             removed.append(p)
     return removed

@@ -321,19 +321,34 @@ class Miniberg:
                 rows.extend(json.load(f))
         return rows
 
-    def gc_orphans(self) -> list[str]:
+    def gc_orphans(self, *, grace_seconds: float = 3600.0) -> list[str]:
         """Delete data files not referenced by ANY existing snapshot + stale
-        staging (expired snapshots no longer pin their files)."""
+        staging (expired snapshots no longer pin their files).
+
+        ``grace_seconds``: files/staging dirs younger than this are SKIPPED —
+        a concurrent writer moves staged files into data/ (collect_staged_
+        files) BEFORE its manifest CAS, so a just-written unreferenced file
+        may belong to an in-flight commit. The grace window makes GC safe to
+        run alongside writers; pass 0 only when no writer can be in flight."""
+        import time as _time
+
         referenced = set()
         for v in self.versions():
             for f in self.manifest(v)["files"]:
                 referenced.add(os.path.join(self.root, f["path"]))
+        now = _time.time()
         removed = []
         for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
-            if p not in referenced:
+            if p not in referenced and now - os.path.getmtime(p) >= grace_seconds:
                 os.unlink(p)
                 removed.append(p)
-        shutil.rmtree(os.path.join(self.root, "tmp"), ignore_errors=True)
+        for d in glob.glob(os.path.join(self.root, "tmp", "stage-*")):
+            try:
+                young = now - os.path.getmtime(d) < grace_seconds
+            except OSError:
+                continue  # racing writer already moved/removed it
+            if not young:
+                shutil.rmtree(d, ignore_errors=True)
         return removed
 
 

@@ -81,6 +81,73 @@ def test_tailer_availablenow(spark, changelog_plain, tmp_path):
     assert_state_equal(table_state(spark, table), expected_state(d))
 
 
+def _write_batch_file(cl_dir, batch_id, rows):
+    """Hand-built changelog batch: rows = [(event_seq, op, doc_id, tokens)]."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bdir = os.path.join(cl_dir, f"batch_id={batch_id}")
+    os.makedirs(bdir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_seq": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "doc_id": pa.array([r[2] for r in rows], pa.string()),
+            "tokens": pa.array([r[3] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[3]) for r in rows], pa.int32()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "ts": pa.array([datetime.datetime(2024, 1, 1)] * len(rows), pa.timestamp("us")),
+            "schema_ver": pa.array([1] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
+
+
+def _live_docs(spark, table):
+    return {r["doc_id"] for r in table.read(spark).collect()}
+
+
+def test_streaming_recreated_checkpoint_keeps_new_data(spark, tmp_path):
+    """A recreated checkpoint restarts epoch ids at 0; the persisted
+    epoch->batch_id base from the OLD checkpoint must not map the new
+    (bundled) epoch below the watermark and silently drop fresh events."""
+    cl = str(tmp_path / "cl")
+    _write_batch_file(cl, 0, [(1, "I", "a", [1]), (2, "I", "b", [2])])
+    _write_batch_file(cl, 1, [(3, "I", "c", [3])])
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    stream_apply_available_now(spark, table, cl, str(tmp_path / "ck1"),
+                               max_files_per_trigger=1)
+    assert _live_docs(spark, table) == {"a", "b", "c"}
+    # new data arrives; the checkpoint is lost/recreated (fresh dir)
+    _write_batch_file(cl, 2, [(4, "I", "d", [4]), (5, "I", "e", [5])])
+    stream_apply_available_now(spark, table, cl, str(tmp_path / "ck2"),
+                               max_files_per_trigger=10)  # all files, 1 epoch
+    assert _live_docs(spark, table) == {"a", "b", "c", "d", "e"}
+
+
+def test_streaming_survives_interleaved_batch_writer(spark, tmp_path):
+    """A foreign batch writer advancing the table watermark between stream
+    runs must not make the stream's next (new-data) epoch look like a replay."""
+    cl = str(tmp_path / "cl")
+    _write_batch_file(cl, 0, [(1, "I", "a", [1])])
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    ckpt = str(tmp_path / "ck")
+    stream_apply_available_now(spark, table, cl, ckpt, max_files_per_trigger=10)
+    assert _live_docs(spark, table) == {"a"}
+    # a direct batch apply jumps the watermark far ahead of the stream's base
+    foreign = spark.createDataFrame(
+        [(100, "I", "f", [6], 1, "web")],
+        "event_seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    apply_batch(spark, table, foreign, table.manifest()["last_applied_batch"] + 7)
+    # new stream data: its epoch id maps below the watermark under the old base
+    _write_batch_file(cl, 1, [(101, "I", "g", [7])])
+    stream_apply_available_now(spark, table, cl, ckpt, max_files_per_trigger=10)
+    assert _live_docs(spark, table) == {"a", "f", "g"}
+
+
 def test_structured_streaming_apply(spark, tmp_path):
     """readStream + foreachBatch MERGE, availableNow, multiple micro-batches;
     a SECOND run with the same checkpoint is a no-op (exactly-once)."""

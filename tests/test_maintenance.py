@@ -47,7 +47,7 @@ def test_expire_snapshots_keeps_current_state(spark, changelog_plain, tmp_path):
     d, _ = changelog_plain
     table = _loaded_table(spark, d, tmp_path, "t3")
     v = table.current_version()
-    removed = expire_snapshots(table, keep_last=2)
+    removed = expire_snapshots(table, keep_last=2, grace_seconds=0)
     assert removed, "old manifests/files should be removed"
     assert table.current_version() == v
     assert_state_equal(table_state(spark, table), expected_state(d))

@@ -63,7 +63,7 @@ def test_crash_before_commit_leaves_no_trace(spark, changelog_plain, tmp_path):
     n_visible = table.read(spark).count()
     assert n_visible == len(expected_state(d, upto_batch=0))
 
-    removed = table.gc_orphans()
+    removed = table.gc_orphans(grace_seconds=0)
     assert removed, "orphan files should have been collected"
 
     # re-run from the watermark: final state correct

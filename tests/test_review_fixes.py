@@ -131,8 +131,8 @@ def test_expire_snapshots_twice(spark, tmp_path):
     gen_changelog(cl, n_docs=50, n_events=400, n_batches=6)
     table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=2)
     apply_batches(spark, table, cl)
-    expire_snapshots(table, keep_last=2)
-    removed = expire_snapshots(table, keep_last=5)  # survivors have gaps now
+    expire_snapshots(table, keep_last=2, grace_seconds=0)
+    removed = expire_snapshots(table, keep_last=5, grace_seconds=0)  # survivors have gaps now
     assert table.current_version() == 6
     assert isinstance(removed, list)
     assert table.read(spark).count() > 0
