@@ -312,11 +312,17 @@ def apply_batch(
         else:
             affected = None  # decision read covers all buckets
 
-        # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY
-        target_min = (
-            table.read(spark, buckets=affected, include_internal=True)
-            .select("doc_id", F.col(SEQ).alias("_t_seq"))
-        )
+        # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY.
+        # Bootstrap fast path: an empty table means no row can be stale —
+        # skip the join (and its AQE stages) entirely.
+        if not m["files"]:
+            matched = winners.withColumn("_t_seq", F.lit(None).cast("long"))
+        else:
+            target_min = (
+                table.read(spark, buckets=affected, include_internal=True)
+                .select("doc_id", F.col(SEQ).alias("_t_seq"))
+            )
+            matched = winners.join(target_min, "doc_id", "left")
         # staleness compares against the row's _seq watermark, INCLUDING
         # tombstone rows — that is why deletes must leave a tombstone: a stale
         # update that arrives after a delete would otherwise resurrect the doc.
@@ -329,7 +335,7 @@ def apply_batch(
             .when(F.col("op") == "D", F.lit("deleted"))
             .otherwise(F.lit("applied"))
         )
-        decisions = winners.join(target_min, "doc_id", "left").withColumn("_cls", cls)
+        decisions = matched.withColumn("_cls", cls)
         if cache:
             decisions = decisions.persist(StorageLevel.MEMORY_AND_DISK)
             persisted.append(decisions)

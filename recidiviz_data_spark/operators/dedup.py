@@ -20,8 +20,16 @@ N_BANDS = 4  # rows per band = 2
 
 
 def _shingles(spark, sf_dir):
-    """Distinct 3-word shingles per doc (native HOFs: split/transform/slice)."""
-    d = load(spark, sf_dir, "documents")
+    """Distinct 3-word shingles per doc (native HOFs: split/transform/slice).
+
+    The docs are repartitioned to cluster parallelism first: HOF lambdas are
+    expression-INTERPRETED per element (no codegen), so a small parquet that
+    fits one input split would otherwise run the whole shingling pass on a
+    single task. On a many-file lake input this repartition is a cheap no-op
+    rebalance; on a one-file demo input it is an ~8x wall-clock win."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.split(F.trim("text"), r"\s+")
     # guard: sequence(1, 0) is DESCENDING in Spark (yields [1, 0] and slice
     # throws on start=0) — docs with < 3 words produce no shingles, matching
@@ -33,10 +41,9 @@ def _shingles(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-        .distinct()
-    )
+    # array_distinct BEFORE the explode already makes (doc_id, shingle)
+    # unique — no global distinct() shuffle needed afterwards
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 _SHINGLES_SQL = """
@@ -98,10 +105,18 @@ def d_ngram_jaccard(spark, sf_dir):
     return j.select("d1", "d2", "shared", "jaccard")
 
 
+# one md5 per shingle; the 8 lanes are affine re-mixes of it mod a Mersenne
+# prime (universal-hash family) — md5 dominates MinHash cost, so this is ~8x
+# cheaper than hashing (shingle, lane) pairs, identically in both engines
+LSH_P = 2147483647
+LSH_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121)
+
+_LANES_VALUES = ", ".join(f"({j}, {a})" for j, a in enumerate(LSH_A))
+
 _MINHASH_SQL = f"""
-  hashes AS (SELECT doc_id, j,
-                    MIN({PHASH_SQL.format(x="concat(shingle, '#', CAST(j AS VARCHAR))")}) AS mh
-             FROM sh, UNNEST(generate_series(0, {N_HASHES - 1})) t(j)
+  hs AS (SELECT doc_id, {PHASH_SQL.format(x="shingle")} % {LSH_P} AS h FROM sh),
+  hashes AS (SELECT doc_id, j, MIN((h * a + j) % {LSH_P}) AS mh
+             FROM hs, (VALUES {_LANES_VALUES}) lanes(j, a)
              GROUP BY doc_id, j),
   bands AS (SELECT doc_id, j // 2 AS band,
                    MIN(CASE WHEN j % 2 = 0 THEN mh END) AS h_lo,
@@ -127,15 +142,18 @@ def d_minhash_lsh(spark, sf_dir):
     bucket-join on band value. Candidate pairs = docs agreeing on >=1 band.
     The band bucket-join is the 100TB-scale path (no pairwise work).
 
-    All 8 hash lanes are computed as columns on each (doc, shingle) row and
-    min-aggregated in ONE groupBy(doc_id) — no 8x row explode before the
-    shuffle (that blowup made this the slowest contract query in round 1);
-    the only explode left is 4 band rows per DOC after aggregation."""
-    sh = _shingles(spark, sf_dir)
+    All 8 hash lanes are computed as columns on each (doc, shingle) row —
+    ONE md5 per shingle, affinely re-mixed per lane mod a Mersenne prime —
+    and min-aggregated in ONE groupBy(doc_id): no 8x row explode before the
+    shuffle and no 8x md5 (together those made this the slowest contract
+    query in round 1); the only explode left is 4 band rows per DOC."""
+    sh = _shingles(spark, sf_dir).withColumn(
+        "h", F.pmod(phash(F.col("shingle")), F.lit(LSH_P))
+    )
     mins = sh.groupBy("doc_id").agg(
         *[
-            F.min(phash(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
-            for j in range(N_HASHES)
+            F.min((F.col("h") * F.lit(a) + F.lit(j)) % F.lit(LSH_P)).alias(f"mh{j}")
+            for j, a in enumerate(LSH_A)
         ]
     )
     bands = mins.select(
@@ -193,7 +211,10 @@ def d_simhash(spark, sf_dir):
 
 
 def _simhash_sig(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # parallelize the word-explode (x32 bit rows) past the single input split
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tokens = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
     ).withColumn("h", phash(F.col("word")))

@@ -20,7 +20,12 @@ N_PLANES = 4  # LSH: 2^4 = 16 buckets over ~500 vectors at sf0.01
 
 
 def _scaled(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    # repartition past the single input split: zip_with/aggregate lambdas are
+    # expression-interpreted (no codegen), so dot products on a one-file demo
+    # input would otherwise run on one task; no-op rebalance on a lake input
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     iv = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
     out = e.select("vec_id", "label", iv.alias("v"))
     # precompute the (exact) squared norm ONCE per vector — pair queries then

@@ -24,7 +24,16 @@ def expected_state_sql(changelog_dir: str, upto_batch: int | None = None) -> str
         WITH log AS (SELECT * FROM {_scan(changelog_dir)} {where}),
         w AS (
           SELECT *, row_number() OVER (
-                      PARTITION BY doc_id ORDER BY event_seq DESC) AS rn
+                      PARTITION BY doc_id
+                      ORDER BY event_seq DESC,
+                               -- total-order tiebreak mirroring the engine's
+                               -- max(struct(event_seq, op, payload...)): the
+                               -- generator only emits bit-identical duplicate
+                               -- (doc_id, event_seq) events, but the oracle
+                               -- must not DEPEND on that
+                               op DESC NULLS LAST, tokens DESC NULLS LAST,
+                               n_tok DESC NULLS LAST, source DESC NULLS LAST
+                    ) AS rn
           FROM log
         )
         SELECT doc_id,
@@ -51,7 +60,10 @@ def expected_state_with_lang(changelog_dir: str, upto_batch: int | None = None) 
             f"""
             WITH log AS (SELECT * FROM {_scan(changelog_dir)} {where}),
             w AS (SELECT *, row_number() OVER (
-                    PARTITION BY doc_id ORDER BY event_seq DESC) AS rn FROM log)
+                    PARTITION BY doc_id
+                    ORDER BY event_seq DESC, op DESC NULLS LAST,
+                             tokens DESC NULLS LAST, n_tok DESC NULLS LAST,
+                             source DESC NULLS LAST) AS rn FROM log)
             SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source, lang
             FROM w WHERE rn = 1 AND op <> 'D'
             """

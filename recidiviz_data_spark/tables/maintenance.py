@@ -102,6 +102,41 @@ def expire_snapshots(
     return removed
 
 
+def split_buckets(
+    spark: SparkSession, table: Miniberg, *, factor: int = 2
+) -> int:
+    """Re-bucket the table N -> factor*N in one atomic commit — the answer to
+    "num_buckets is fixed at creation" at lake scale: as the table grows, a
+    COW rewrite of one bucket grows with it; splitting restores bucket-sized
+    rewrites without re-creating the table.
+
+    SHUFFLE-FREE by construction: with bucket = pmod(xxhash64(key), N), every
+    row of old bucket b lands in {b, b + N, b + 2N, ...} under the new
+    function — each (bucket-pure) input file fans out into at most ``factor``
+    output files locally, so the rewrite is a map-only write (no Exchange).
+    Readers/writers racing this commit CAS-conflict and retry, like compact.
+    The num_buckets change is atomic with the data rewrite: a manifest never
+    mixes bucket functions.
+    """
+    m = table.manifest()
+    n_new = m["num_buckets"] * factor
+    df = table.read(spark, include_internal=True)
+    out = df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(m["key_col"]), F.lit(n_new)).cast("int")
+    )
+    staging = table.staging_dir()
+    # NOTE: no repartition — bucket-pure inputs split locally (map-only)
+    out.write.partitionBy("_bucket").parquet(staging)
+    added = table.collect_staged_files(staging, m["schema_id"])
+    return table.commit(
+        added_files=added,
+        replaced_buckets=set(range(m["num_buckets"])),
+        expected_parent=m["version"],
+        num_buckets=n_new,
+        props={"last_bucket_split_version": m["version"] + 1},
+    )
+
+
 def table_stats(table: Miniberg) -> dict:
     """Operational summary: files/rows/bytes per bucket, snapshot count."""
     m = table.manifest()

@@ -23,7 +23,26 @@ DB transaction — SURVEY.md §3.1):
 
 Orphan data files (written but never committed — e.g. a crash between the
 staging write and the manifest link) are invisible: the manifest is the sole
-source of truth. ``gc_orphans`` removes them.
+source of truth. ``gc_orphans`` removes them (with a grace window so a racing
+writer's just-staged files survive until its CAS resolves).
+
+LIMITS (documented scale envelope; see maintenance.py for the mitigations):
+
+- **Manifest = single JSON with the full file list.** Measured ~120 bytes per
+  file entry + ~1 KiB fixed: 10k files ≈ 1.2 MiB, 1M files ≈ 120 MiB per
+  snapshot version — driver-side O(files) parse per commit/read. Compaction
+  (``compact``, or ``compact='auto'`` in apply) bounds files at
+  ~``compact_files_per_bucket`` per bucket, so the real constraint is bucket
+  count; manifests stay in the KB-MB range when compaction runs. A true
+  Iceberg-style two-level manifest (manifest-list -> per-bucket avro) is the
+  upgrade path if buckets ever exceed ~10^5.
+- **num_buckets is chosen at creation**, and a COW rewrite touches whole
+  buckets — at 100 TB a 16-bucket table would make every merge rewrite
+  multi-TB. ``maintenance.split_buckets`` re-buckets N -> factor*N in one
+  atomic commit and is SHUFFLE-FREE (pmod(h, 2N) keeps each row within its
+  old bucket's residue class), so the envelope is: create with a sane bucket
+  count for the bootstrap size, split as the table grows (each split halves
+  per-bucket rewrite cost; run it like compaction, as a ride-along commit).
 """
 
 from __future__ import annotations
@@ -273,9 +292,14 @@ class Miniberg:
         lineage_rows: list[dict] | None = None,
         expected_parent: int | None = None,
         props: dict | None = None,
+        num_buckets: int | None = None,
     ) -> int:
         """Create snapshot N+1: carry over files outside ``replaced_buckets``,
-        add ``added_files``. Atomic; raises CommitConflict if raced."""
+        add ``added_files``. Atomic; raises CommitConflict if raced.
+
+        ``num_buckets`` re-declares the table's bucket function atomically with
+        this commit (bucket-split maintenance): EVERY pre-existing bucket must
+        be in ``replaced_buckets`` — a manifest may never mix bucket functions."""
         parent_v = self.current_version()
         if expected_parent is not None and parent_v != expected_parent:
             raise CommitConflict(f"parent moved: {parent_v} != {expected_parent}")
@@ -302,6 +326,14 @@ class Miniberg:
             new["last_applied_batch"] = last_applied_batch
         if props:
             new["props"] = {**m.get("props", {}), **props}
+        if num_buckets is not None and num_buckets != m["num_buckets"]:
+            if carried:
+                raise CommitConflict(
+                    "num_buckets change requires replacing every existing "
+                    f"bucket in the same commit ({len(carried)} files carried)"
+                )
+            new["num_buckets"] = num_buckets
+            new["bucket_expr"] = f"pmod(xxhash64({m['key_col']}), {num_buckets})"
         self._write_manifest(new["version"], new)
         if lineage_rows:
             lid = last_applied_batch if last_applied_batch is not None else new["version"]

@@ -43,6 +43,42 @@ def test_tombstone_purge_with_horizon(spark, changelog_plain, tmp_path):
     assert_state_equal(table_state(spark, table), expected_state(d))
 
 
+def test_split_buckets_preserves_state_and_future_applies(spark, changelog_small, tmp_path):
+    """N -> 2N bucket split: same state, shuffle-free rewrite plan, and later
+    incremental applies keep working against the new bucket function."""
+    from pyspark.sql import functions as F
+
+    from recidiviz_data_spark.cdc.apply import apply_batches as apply_more
+    from recidiviz_data_spark.tables.maintenance import split_buckets
+
+    d, spec = changelog_small
+    table = create_empty_table(str(tmp_path / "ts"), V1_PAYLOAD, num_buckets=4)
+    # apply only the first batches, split, then apply the rest on top
+    apply_more(spark, table, d, upto=2)
+    v = split_buckets(spark, table)
+    m = table.manifest()
+    assert m["num_buckets"] == 8 and m["version"] == v
+    assert all(f["bucket"] < 8 for f in m["files"])
+    assert_state_equal(table_state(spark, table), expected_state(d, upto_batch=2))
+    # the split plan must be map-only: bucket-pure inputs fan out locally
+    df = table.read(spark, version=v - 1, include_internal=True).withColumn(
+        "_bucket", F.pmod(F.xxhash64(m["key_col"]), F.lit(8)).cast("int")
+    )
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    # every row sits in the bucket the NEW function assigns it (file purity)
+    import os
+
+    for f in m["files"]:
+        rows = spark.read.parquet(os.path.join(table.root, f["path"])).select("doc_id")
+        bad = rows.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int") != f["bucket"]
+        ).count()
+        assert bad == 0, f
+    # incremental applies continue against the split table
+    apply_more(spark, table, d)
+    assert_state_equal(table_state(spark, table), expected_state(d))
+
+
 def test_expire_snapshots_keeps_current_state(spark, changelog_plain, tmp_path):
     d, _ = changelog_plain
     table = _loaded_table(spark, d, tmp_path, "t3")
