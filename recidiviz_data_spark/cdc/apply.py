@@ -237,6 +237,14 @@ def apply_batch(
         return []  # idempotent replay
 
     num_buckets = m["num_buckets"]
+    # the merge logic (joins, changed-doc sets, validity) is written against
+    # the changelog's fixed key column name; a table created with a different
+    # key_col would silently bucket/prune inconsistently with maintenance ops
+    # (which honor key_col) — refuse instead
+    if m.get("key_col", "doc_id") != "doc_id":
+        raise ValueError(
+            f"apply_batch merges on 'doc_id' but table key_col={m['key_col']!r}"
+        )
     bucket_expr = F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
     payload_cols = [c for c in payload_columns(batch_df) if c != "doc_id"]
     clashes = [c for c in batch_df.columns if c.startswith("_")]

@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--expire-keep-last", type=int, default=None,
                    help="expire snapshots, keeping the last K")
     p.add_argument("--gc", action="store_true", help="collect orphan files")
+    p.add_argument("--gc-grace-seconds", type=float, default=0.0,
+                   help="skip unreferenced files younger than this during "
+                        "--gc/--expire-keep-last; this job is the table's "
+                        "single writer, so 0 (reclaim everything, incl. this "
+                        "run's crash leftovers) is the right default here — "
+                        "set >0 only if other writers may be in flight")
     args = p.parse_args(argv)
 
     from pyspark.sql import types as T
@@ -93,9 +99,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.expire_keep_last is not None:
         from recidiviz_data_spark.tables.maintenance import expire_snapshots
 
-        maintenance["expired"] = len(expire_snapshots(table, keep_last=args.expire_keep_last))
+        maintenance["expired"] = len(expire_snapshots(
+            table, keep_last=args.expire_keep_last,
+            grace_seconds=args.gc_grace_seconds,
+        ))
     if args.gc:
-        maintenance["gc_orphans"] = len(table.gc_orphans())
+        maintenance["gc_orphans"] = len(
+            table.gc_orphans(grace_seconds=args.gc_grace_seconds)
+        )
     events = sum(r["events_in"] for r in lineage)
     summary = {
         "batches_applied": len({r["batch_id"] for r in lineage}),

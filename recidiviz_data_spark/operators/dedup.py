@@ -41,9 +41,13 @@ def _shingles(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # array_distinct BEFORE the explode already makes (doc_id, shingle)
-    # unique — no global distinct() shuffle needed afterwards
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    # array_distinct BEFORE the explode dedups within a row; the global
+    # distinct() stays because the oracle's SELECT DISTINCT also dedups
+    # ACROSS rows sharing a doc_id (a re-ingested/duplicated doc must not
+    # inflate shingle counts). array_distinct first keeps the shuffle small.
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    ).distinct()
 
 
 _SHINGLES_SQL = """

@@ -60,7 +60,13 @@ def _checkpoint_identity(checkpoint_dir: str) -> str:
     """The Spark streaming-query id from ``<checkpoint>/metadata`` — stable
     across restarts of the SAME checkpoint, different for a recreated one.
     Epoch ids restart from 0 when a checkpoint is recreated, so the
-    epoch->batch_id mapping must be scoped to this identity."""
+    epoch->batch_id mapping must be scoped to this identity.
+
+    Fallback when the metadata file is unreadable (e.g. a non-local
+    checkpoint URI): a hash of the checkpoint path. Never a shared constant —
+    aliasing two different checkpoints to one scope would let one stream's
+    last-epoch marker classify another's NEW data as a replay."""
+    import hashlib as _hashlib
     import json as _json
     import os as _os
 
@@ -69,7 +75,9 @@ def _checkpoint_identity(checkpoint_dir: str) -> str:
         with open(p) as f:
             return str(_json.load(f)["id"])
     except (OSError, ValueError, KeyError):
-        return "unknown"
+        return "path-" + _hashlib.md5(
+            _os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:12]
 
 
 def stream_apply_available_now(
@@ -102,26 +110,45 @@ def stream_apply_available_now(
         # miniberg commit and the Spark checkpoint commit maps to the SAME
         # batch_id, which the watermark makes a clean no-op — true
         # exactly-once, no duplicate lineage, no double-advanced watermark.
+        # The whole map-then-apply runs in a retry loop: a foreign writer can
+        # commit BETWEEN our manifest read and apply_batch's own watermark
+        # check (apply returns [] / raises CommitConflict) — re-read, re-map,
+        # retry rather than silently treating the epoch as done.
+        from recidiviz_data_spark.tables.miniberg import CommitConflict
+
         ckpt = _checkpoint_identity(checkpoint_dir)
         base_key = f"stream_epoch_base:{ckpt}"
         epoch_key = f"stream_last_epoch:{ckpt}"
-        m = table.manifest()
-        props = m["props"]
-        base = props.get(base_key)
-        last_epoch = props.get(epoch_key)
-        if base is None:
-            base = m["last_applied_batch"] + 1 - epoch_id
-        batch_id = base + epoch_id
-        if batch_id <= m["last_applied_batch"]:
-            if last_epoch is not None and epoch_id <= last_epoch:
-                return  # proven replay: THIS checkpoint already committed it
-            # a foreign writer advanced the watermark past our mapping —
-            # re-base so this NEW epoch's data is not silently dropped
-            base = m["last_applied_batch"] + 1 - epoch_id
+        for _ in range(8):
+            m = table.manifest()
+            props = m["props"]
+            base = props.get(base_key)
+            last_epoch = props.get(epoch_key)
+            if base is None:
+                base = m["last_applied_batch"] + 1 - epoch_id
             batch_id = base + epoch_id
-        apply_batch(
-            spark, table, batch_df.drop("batch_id"), batch_id,
-            commit_props={base_key: base, epoch_key: epoch_id}, **apply_kw,
+            if batch_id <= m["last_applied_batch"]:
+                if last_epoch is not None and epoch_id <= last_epoch:
+                    return  # proven replay: THIS checkpoint committed it
+                # a foreign writer advanced the watermark past our mapping —
+                # re-base so this NEW epoch's data is not silently dropped
+                base = m["last_applied_batch"] + 1 - epoch_id
+                batch_id = base + epoch_id
+            try:
+                lineage = apply_batch(
+                    spark, table, batch_df.drop("batch_id"), batch_id,
+                    commit_props={base_key: base, epoch_key: epoch_id},
+                    **apply_kw,
+                )
+            except CommitConflict:
+                continue  # raced mid-commit: re-read the manifest and re-map
+            if lineage:
+                return  # committed (a non-empty batch always yields lineage)
+            # apply_batch saw a fresher watermark than we did and skipped:
+            # loop to re-map against the new manifest
+        raise RuntimeError(
+            f"stream sink could not commit epoch {epoch_id} after 8 attempts "
+            "(persistent watermark races from a concurrent writer)"
         )
 
     stream = (

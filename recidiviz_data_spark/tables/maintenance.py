@@ -96,9 +96,14 @@ def expire_snapshots(
         removed.append(p)
     now = _time.time()
     for p in glob.glob(os.path.join(table.data_dir, "*.parquet")):
-        if p not in keep_files and now - os.path.getmtime(p) >= grace_seconds:
-            os.unlink(p)
-            removed.append(p)
+        if p in keep_files:
+            continue
+        try:
+            if now - os.path.getmtime(p) >= grace_seconds:
+                os.unlink(p)
+                removed.append(p)
+        except OSError:
+            continue  # a concurrent GC/compactor got there first
     return removed
 
 

@@ -371,9 +371,14 @@ class Miniberg:
         now = _time.time()
         removed = []
         for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
-            if p not in referenced and now - os.path.getmtime(p) >= grace_seconds:
-                os.unlink(p)
-                removed.append(p)
+            if p in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(p) >= grace_seconds:
+                    os.unlink(p)
+                    removed.append(p)
+            except OSError:
+                continue  # a concurrent GC/compactor got there first
         for d in glob.glob(os.path.join(self.root, "tmp", "stage-*")):
             try:
                 young = now - os.path.getmtime(d) < grace_seconds
