@@ -262,19 +262,23 @@ _IVF_ORACLE = f"""
     """
 
 
-def _nearest_cent(iv, cents):
-    """Assign each vector to its nearest centroid (exact squared L2 on the
-    int-scaled vectors, centroid-id tiebreak). Centroids broadcast — the
-    corpus is never shuffled for assignment."""
+def _nearest_cents(iv, cents, n: int = 1):
+    """Rank centroids per vector by exact squared L2 on the int-scaled
+    vectors (centroid-id tiebreak), keep the nearest ``n``. Centroids
+    broadcast — the corpus is never shuffled for assignment."""
     dist2 = F.col("n2") + F.col("cn2") - 2 * _dot(F.col("v"), F.col("cv"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cent_id"))
     return (
         iv.crossJoin(F.broadcast(cents))
         .withColumn("dist2", dist2)
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter("rn = 1")
-        .select("vec_id", "cent_id", "dist2")
+        .filter(F.col("rn") <= n)
+        .select("vec_id", "cent_id", "dist2", "rn")
     )
+
+
+def _nearest_cent(iv, cents):
+    return _nearest_cents(iv, cents, 1).drop("rn")
 
 
 def _lloyd_step(iv, assign):
@@ -298,9 +302,10 @@ def _lloyd_step(iv, assign):
     return newc.withColumn("cn2", _dot(F.col("cv"), F.col("cv")).cast("double"))
 
 
-def ivf_assign(spark, sf_dir, lloyd_iters: int = 1):
+def ivf_assign(spark, sf_dir, lloyd_iters: int = 1, with_cents: bool = False):
     """Seed centroids (every 31st vector) + `lloyd_iters` refinement passes.
-    Returns the final per-vector (vec_id, cent_id, dist2) assignment."""
+    Returns (iv, assign) — the final per-vector (vec_id, cent_id, dist2)
+    assignment — or (iv, cents, assign) when ``with_cents``."""
     iv = _scaled(spark, sf_dir)
     cents = iv.filter("vec_id % 31 = 0").select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
@@ -309,7 +314,45 @@ def ivf_assign(spark, sf_dir, lloyd_iters: int = 1):
     for _ in range(lloyd_iters):
         cents = _lloyd_step(iv, assign)
         assign = _nearest_cent(iv, cents)
+    if with_cents:
+        return iv, cents, assign
     return iv, assign
+
+
+def ivf_search(spark, sf_dir, *, k: int = 3, nprobe: int = 1,
+               lloyd_iters: int = 1, query_filter: str = "vec_id < 10"):
+    """Multi-probe IVF: each query ranks centroids and searches its nearest
+    ``nprobe`` cells (exact cosine within them) — the recall/compute knob of
+    a real IVF index. nprobe=1 with the default filter reproduces
+    ``e_ann_ivf``; raising nprobe monotonically widens the candidate set
+    toward the brute-force answer. At 100TB the probe set selects which
+    cell-partitioned files are read — compute scales with nprobe, never with
+    the corpus."""
+    iv, cents, assign = ivf_assign(spark, sf_dir, lloyd_iters, with_cents=True)
+    q = iv.filter(query_filter)
+    probes = _nearest_cents(q, cents, nprobe).select(
+        F.col("vec_id").alias("query_id"), "cent_id"
+    )
+    qa = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    ).join(probes, "query_id")
+    cand = (
+        qa.join(assign.select("vec_id", "cent_id"), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(iv, "vec_id")
+    )
+    cos = _dot(F.col("qv"), F.col("v")).cast("double") / F.sqrt(
+        F.col("qn2") * F.col("n2")
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    ).distinct()  # a neighbor reachable via several probed cells counts once
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).drop("rn")
 
 
 @_q("e_ann_ivf", _IVF_ORACLE)

@@ -23,6 +23,33 @@ def test_simhash_banded_equals_allpairs(spark):
     assert banded  # non-vacuous: sf0.01 has near-dup docs
 
 
+def test_ivf_multiprobe_recall_monotone(spark):
+    """nprobe is IVF's recall knob: more probed cells -> recall vs the
+    brute-force top-k can only improve; nprobe=1 matches e_ann_ivf."""
+    from recidiviz_data_spark.operators.similarity import e_ann_ivf, e_ann_topk, ivf_search
+
+    truth = {}
+    for r in e_ann_topk(spark, SF_DIR).collect():  # top-5 per query
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf_search(spark, SF_DIR, k=5, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, (r1, r2)
+    # consistency: nprobe=1 at k=3 reproduces the contract query exactly
+    a = {tuple(r) for r in ivf_search(spark, SF_DIR, k=3, nprobe=1).collect()}
+    b = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in e_ann_ivf(spark, SF_DIR).collect()
+    }
+    assert a == b
+
+
 def test_ivf_lloyd_improves_cells(spark):
     from recidiviz_data_spark.operators.similarity import ivf_assign
 
