@@ -149,6 +149,10 @@ def main() -> None:
         times: dict[int, list[float]] = {lv: [] for lv in levels}
         for _ in range(max(REPEAT, 1)):
             for lv in levels:
+                if lv == CPUS and lv not in (lo, hi) and times[lv] and (
+                    time.monotonic() - _t_start > 0.7 * TIME_BUDGET_SEC
+                ):
+                    continue  # peak is informational — drop repeats when tight
                 times[lv].append(_apply_run(f"local[{lv}]", changelog))
         def _stable(samples: list[float]) -> bool:
             if len(samples) < 2:

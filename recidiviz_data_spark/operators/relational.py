@@ -1110,3 +1110,65 @@ def p2_enum_overrides(spark, sf_dir):
     return j.groupBy(enum.alias("priority_enum"), F.col("n_name").alias("nation")).agg(
         F.count("*").alias("n")
     )
+
+
+@_qx(
+    "x_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def x_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, SURVEY §2.7 'not required'
+    but free in Spark) vs the classic gaps-and-islands SQL. Session merge
+    rule: an event joins while it lands BEFORE prev_ts + gap (so an exactly-
+    30-minute gap starts a NEW session — hence >= in the oracle)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@_qx(
+    "x_percentiles",
+    """
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(median(CAST(l_extendedprice * 100 AS BIGINT)) AS DOUBLE) AS median_cents,
+           CAST(min(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS max_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x_percentiles(spark, sf_dir):
+    """Exact order statistics (median on integer-scaled cents: midpoint mean
+    of two exact ints is IEEE-exact in both engines — never median raw
+    doubles, and percentile_approx is banned from oracle-checked queries)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.median(cents).alias("median_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
