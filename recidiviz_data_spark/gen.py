@@ -142,15 +142,16 @@ def _inject_copies(spec: ChangelogSpec, ev: dict[str, np.ndarray]) -> dict:
     return {k: np.concatenate([p[k] for p in parts]) for k in ev}
 
 
-def _batch_table(spec: ChangelogSpec, ev: dict, mask: np.ndarray, docs: np.ndarray,
+def _batch_table(spec: ChangelogSpec, ev: dict, mask: np.ndarray | None, docs: np.ndarray,
                  force_v2: bool | None = None) -> pa.Table:
-    seq = ev["seq"][mask]
+    sel = ev if mask is None else {k: v[mask] for k, v in ev.items()}
+    seq = sel["seq"]
     # shuffle within the batch (out-of-order arrival; order must not matter)
     order = np.argsort(_hash2(seq.astype(np.uint64), 7), kind="stable")
     seq = seq[order]
-    doc_idx = ev["doc_idx"][mask][order]
-    op = ev["op"][mask][order]
-    sv = ev["sv"][mask][order]
+    doc_idx = sel["doc_idx"][order]
+    op = sel["op"][order]
+    sv = sel["sv"][order]
 
     values, offsets = tokens_for_seqs(seq, spec.min_len, spec.max_len)
     n_tok = np.diff(offsets).astype(np.int64)
@@ -197,21 +198,37 @@ def gen_changelog(out_dir: str, spec: ChangelogSpec | None = None, **kw) -> Chan
     # multiple files per batch: a real WAL ships many segment files, and the
     # scan stage must parallelize — one fat file caps it at len/128MB splits
     rows_per_file = int(spec.extra.get("rows_per_file", 200_000))
+
+    def _write_chunk(b: int, i: int, chunk: np.ndarray, batch_v2: bool) -> None:
+        # pre-slice the chunk's rows once (fancy index) instead of rebuilding
+        # an O(total-events) boolean mask per chunk
+        sub = {k: v[chunk] for k, v in ev.items()}
+        pq.write_table(
+            _batch_table(spec, sub, None, docs, force_v2=batch_v2),
+            os.path.join(out_dir, f"batch_id={b}", f"part-{i:04d}.parquet"),
+        )
+
+    jobs: list[tuple[int, int, np.ndarray, bool]] = []
     for b in range(spec.n_batches):
         mask_idx = np.nonzero(ev["batch"] == b)[0]
         if len(mask_idx) == 0:
             continue
-        bdir = os.path.join(out_dir, f"batch_id={b}")
-        os.makedirs(bdir, exist_ok=True)
+        os.makedirs(os.path.join(out_dir, f"batch_id={b}"), exist_ok=True)
         n_files = max(1, (len(mask_idx) + rows_per_file - 1) // rows_per_file)
         batch_v2 = bool((ev["sv"][mask_idx] == 2).any())
         for i, chunk in enumerate(np.array_split(mask_idx, n_files)):
-            mask = np.zeros(len(ev["batch"]), dtype=bool)
-            mask[chunk] = True
-            pq.write_table(
-                _batch_table(spec, ev, mask, docs, force_v2=batch_v2),
-                os.path.join(bdir, f"part-{i:04d}.parquet"),
-            )
+            jobs.append((b, i, chunk, batch_v2))
+    # chunk synthesis is numpy/arrow work that releases the GIL — thread it
+    # (each chunk is an independent pure function of its event slice)
+    workers = min(int(spec.extra.get("gen_threads", os.cpu_count() or 8)), len(jobs)) or 1
+    if workers <= 1:
+        for job in jobs:
+            _write_chunk(*job)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(lambda j: _write_chunk(*j), jobs))
     return spec
 
 
