@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from recidiviz_data_spark.operators.base import _q
+from recidiviz_data_spark.operators.base import _q, _qx
 from recidiviz_data_spark.operators.relational import load
 
 # portable 60-bit hash (identical in Spark & DuckDB)
@@ -157,4 +157,60 @@ def t_fingerprint(spark, sf_dir):
         phash(norm).alias("fingerprint"),
         phash(F.substring(norm, 1, 64)).alias("prefix_fp"),
         F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    )
+
+
+@_qx(
+    "x_winnowing_fingerprint",
+    f"""
+    WITH nd AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    g AS (SELECT doc_id, i, {PHASH_SQL.format(x="substr(t, i, 8)")} AS h
+          FROM nd, UNNEST(generate_series(1, greatest(length(t) - 7, 0))) u(i)),
+    wmin AS (SELECT doc_id, i,
+                    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+                    COUNT(*) OVER (PARTITION BY doc_id) AS m
+             FROM g),
+    fp AS (SELECT DISTINCT doc_id, mh FROM wmin WHERE i <= m - 3)
+    SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(mh) AS min_fp
+    FROM fp GROUP BY doc_id
+    """,
+)
+def x_winnowing_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing, the MOSS scheme):
+    hash every char 8-gram, keep the minimum of each 4-hash sliding window,
+    dedupe — a content-position-robust fingerprint set (insertion/deletion
+    moves only nearby fingerprints, unlike the whole-doc hash in
+    t_fingerprint). Shape: build the per-doc k-gram hash array with one
+    transform, posexplode it, take sliding minima with a rows-window — the
+    same plan as the oracle. (An all-array form using slice() inside a
+    transform lambda re-evaluates the WHOLE gram array per element — lambda
+    bodies are not common-subexpression-eliminated — turning O(m) into O(m²)
+    md5 calls; measured ~60x slower.) Docs with fewer than k+w-1 chars have
+    no full window and are excluded, matching the oracle."""
+    from pyspark.sql.window import Window
+
+    k, w = 8, 4
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.lower(F.trim("text"))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: phash(t.substr(i, F.lit(k)))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = d.select("doc_id", F.posexplode(grams).alias("i", "h"))  # i is 0-based
+    w_doc = Window.partitionBy("doc_id")
+    w_min = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    wmin = g.select(
+        "doc_id", "i",
+        F.min("h").over(w_min).alias("mh"),
+        F.count("*").over(w_doc).alias("m"),
+    )
+    fp = wmin.filter(F.col("i") <= F.col("m") - w).select("doc_id", "mh").distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"), F.min("mh").alias("min_fp")
     )
