@@ -82,3 +82,13 @@ def test_metrics_reconcile(spark, changelog_small, tmp_path):
     assert sum(r["events_in"] for r in lineage) == n_events
     # lineage persisted with the table
     assert table.lineage() == lineage
+
+
+@pytest.mark.parametrize("mode", [True, False, "auto"])
+def test_decision_prune_modes_equivalent(spark, changelog_plain, tmp_path, mode):
+    """decision_prune only changes WHICH jobs run (prune-collect vs unpruned
+    2-column read) — the final state must be identical in every mode."""
+    d, _ = changelog_plain
+    table = create_empty_table(str(tmp_path / f"t_{mode}"), V1_PAYLOAD, num_buckets=4)
+    apply_batches(spark, table, d, decision_prune=mode)
+    assert_state_equal(table_state(spark, table), expected_state(d))
