@@ -86,7 +86,7 @@ def _bench_changelog() -> str:
 
     tag = f"{N_EVENTS}_{N_DOCS}_{N_BATCHES}"
     d = os.path.join("/tmp", f"rds_bench_cl_{tag}")
-    if not os.path.exists(os.path.join(d, f"batch_id={N_BATCHES - 1}")):
+    if not os.path.exists(os.path.join(d, "_GEN_SUCCESS")):
         shutil.rmtree(d, ignore_errors=True)
         gen_changelog(
             d, n_docs=N_DOCS, n_events=N_EVENTS, n_batches=N_BATCHES, seed=42,

@@ -201,11 +201,15 @@ def gen_changelog(out_dir: str, spec: ChangelogSpec | None = None, **kw) -> Chan
 
     def _write_chunk(b: int, i: int, chunk: np.ndarray, batch_v2: bool) -> None:
         # pre-slice the chunk's rows once (fancy index) instead of rebuilding
-        # an O(total-events) boolean mask per chunk
+        # an O(total-events) boolean mask per chunk; mkdir happens here (not
+        # up front) so an interrupted generation never leaves empty batch
+        # dirs that look complete to presence checks
+        bdir = os.path.join(out_dir, f"batch_id={b}")
+        os.makedirs(bdir, exist_ok=True)
         sub = {k: v[chunk] for k, v in ev.items()}
         pq.write_table(
             _batch_table(spec, sub, None, docs, force_v2=batch_v2),
-            os.path.join(out_dir, f"batch_id={b}", f"part-{i:04d}.parquet"),
+            os.path.join(bdir, f"part-{i:04d}.parquet"),
         )
 
     jobs: list[tuple[int, int, np.ndarray, bool]] = []
@@ -213,7 +217,6 @@ def gen_changelog(out_dir: str, spec: ChangelogSpec | None = None, **kw) -> Chan
         mask_idx = np.nonzero(ev["batch"] == b)[0]
         if len(mask_idx) == 0:
             continue
-        os.makedirs(os.path.join(out_dir, f"batch_id={b}"), exist_ok=True)
         n_files = max(1, (len(mask_idx) + rows_per_file - 1) // rows_per_file)
         batch_v2 = bool((ev["sv"][mask_idx] == 2).any())
         for i, chunk in enumerate(np.array_split(mask_idx, n_files)):
@@ -229,6 +232,12 @@ def gen_changelog(out_dir: str, spec: ChangelogSpec | None = None, **kw) -> Chan
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(lambda j: _write_chunk(*j), jobs))
+    # completion sentinel, written LAST: consumers that cache generated
+    # changelogs (bench.py) check this instead of directory presence, so an
+    # interrupted generation is never mistaken for a finished one. Spark
+    # ignores underscore-prefixed files; the DuckDB batch_id=*/ glob too.
+    with open(os.path.join(out_dir, "_GEN_SUCCESS"), "w") as f:
+        f.write("ok\n")
     return spec
 
 

@@ -1116,15 +1116,15 @@ def p2_enum_overrides(spark, sf_dir):
     "x_session_window",
     """
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
-    s AS (SELECT user_id, ts,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    s AS (SELECT user_id, ts, event_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                         ROWS UNBOUNDED PRECEDING) AS sid
           FROM g)
     SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -1154,9 +1154,9 @@ def x_session_window(spark, sf_dir):
     """
     SELECT l_returnflag AS flag,
            COUNT(*) AS n,
-           CAST(median(CAST(l_extendedprice * 100 AS BIGINT)) AS DOUBLE) AS median_cents,
-           CAST(min(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS min_cents,
-           CAST(max(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS max_cents
+           CAST(median(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS median_cents,
+           CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1165,7 +1165,10 @@ def x_percentiles(spark, sf_dir):
     of two exact ints is IEEE-exact in both engines — never median raw
     doubles, and percentile_approx is banned from oracle-checked queries)."""
     li = load(spark, sf_dir, "lineitem")
-    cents = (F.col("l_extendedprice") * 100).cast("long")
+    # round BEFORE casting: Spark cast(long) truncates toward zero while
+    # DuckDB CAST(double AS BIGINT) rounds — bare casts diverge on ~5% of
+    # raw doubles (20729.44*100 = 2072943.9999999998)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count("*").alias("n"),
         F.median(cents).alias("median_cents"),

@@ -202,14 +202,16 @@ def x_winnowing_fingerprint(spark, sf_dir):
             F.sequence(F.lit(1), n_grams), lambda i: phash(t.substr(i, F.lit(k)))
         ),
     ).otherwise(F.array().cast("array<long>"))
-    g = d.select("doc_id", F.posexplode(grams).alias("i", "h"))  # i is 0-based
-    w_doc = Window.partitionBy("doc_id")
+    # carry the gram count from before the explode (size is O(1) per doc)
+    # instead of re-counting the exploded rows with a second window; grams is
+    # aliased in its own projection first so size+posexplode don't each
+    # re-evaluate the md5 transform (CollapseProject won't inline a non-cheap
+    # alias referenced twice)
+    g = d.select("doc_id", grams.alias("grams")).select(
+        "doc_id", F.size("grams").alias("m"), F.posexplode("grams").alias("i", "h")
+    )  # i is 0-based
     w_min = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-    wmin = g.select(
-        "doc_id", "i",
-        F.min("h").over(w_min).alias("mh"),
-        F.count("*").over(w_doc).alias("m"),
-    )
+    wmin = g.select("doc_id", "i", "m", F.min("h").over(w_min).alias("mh"))
     fp = wmin.filter(F.col("i") <= F.col("m") - w).select("doc_id", "mh").distinct()
     return fp.groupBy("doc_id").agg(
         F.count("*").alias("n_fingerprints"), F.min("mh").alias("min_fp")
