@@ -34,10 +34,16 @@ def compact(
     buckets: list[int] | None = None,
     min_files: int = 2,
     tombstone_horizon: int | None = None,
+    sort: bool = True,
 ) -> int | None:
     """Rewrite buckets holding >= min_files files into one file each.
     Optionally drops tombstones with _seq <= tombstone_horizon. Returns the
-    new version, or None if nothing needed compaction."""
+    new version, or None if nothing needed compaction.
+
+    ``sort`` orders rows by the table key within each bucket file (Iceberg's
+    sorted-rewrite): parquet row-group min/max stats then let key point
+    lookups skip row groups inside a bucket — the hot apply path stays
+    unsorted (write latency first; compaction restores order)."""
     m = table.manifest()
     per_bucket: dict[int, int] = {}
     for f in m["files"]:
@@ -56,6 +62,8 @@ def compact(
     out = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(m["key_col"]), F.lit(m["num_buckets"])).cast("int")
     ).repartition(len(todo), "_bucket")
+    if sort:
+        out = out.sortWithinPartitions("_bucket", m["key_col"])
     staging = table.staging_dir()
     out.write.partitionBy("_bucket").parquet(staging)
     added = table.collect_staged_files(staging, m["schema_id"])

@@ -27,6 +27,25 @@ def test_compact_preserves_state_and_bounds_files(spark, changelog_plain, tmp_pa
     assert_state_equal(table_state(spark, table), expected_state(d))
 
 
+def test_compact_sorts_within_bucket_files(spark, changelog_plain, tmp_path):
+    """Sorted compaction: each rewritten bucket file is key-ordered, so
+    parquet row-group min/max stats support key point-lookup skipping."""
+    import pyarrow.parquet as pq
+
+    d, _ = changelog_plain
+    table = _loaded_table(spark, d, tmp_path, "tsort")
+    compact(spark, table, sort=True)
+    m = table.manifest()
+    import os
+
+    for f in m["files"]:
+        ids = pq.read_table(os.path.join(table.root, f["path"]), columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        assert ids == sorted(ids), f["path"]
+    assert_state_equal(table_state(spark, table), expected_state(d))
+
+
 def test_tombstone_purge_with_horizon(spark, changelog_plain, tmp_path):
     d, _ = changelog_plain
     table = _loaded_table(spark, d, tmp_path, "t2")
