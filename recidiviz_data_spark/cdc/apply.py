@@ -53,7 +53,11 @@ from recidiviz_data_spark.sources.changelog import (
     read_batch,
     read_range,
 )
-from recidiviz_data_spark.tables.miniberg import Miniberg
+from recidiviz_data_spark.tables.miniberg import (
+    Miniberg,
+    _type_from_json,
+    align_to_schema as _align,
+)
 
 BUCKET = "_bucket"
 SEQ = "_seq"
@@ -89,6 +93,18 @@ def dedup_lww(
                   first, then (doc_id) over the ≤salt_partitions survivors.
     """
     cols = [BUCKET, "doc_id", "event_seq", "op", *payload_cols]
+    # total-order tiebreak for the row_number strategies, mirroring the agg
+    # strategy's max(struct(event_seq, op, *payload)) lexicographic order
+    # (struct-max treats a null field as lowest; DESC NULLS LAST matches).
+    # The generator only emits bit-identical duplicate (doc_id, event_seq)
+    # events, but LWW must not DEPEND on that — distinct same-seq payloads
+    # (e.g. two differ outputs sharing a snapshot_seq) need a deterministic,
+    # strategy-independent winner.
+    tiebreak = [
+        F.desc("event_seq"),
+        F.desc_nulls_last("op"),
+        *[F.desc_nulls_last(c) for c in payload_cols],
+    ]
     if strategy == "agg":
         w = F.struct(F.col("op"), *[F.col(c) for c in payload_cols])
         g = valid.groupBy(BUCKET, "doc_id").agg(
@@ -97,7 +113,7 @@ def dedup_lww(
         )
         return g.select(BUCKET, "doc_id", "event_seq", "_w.*")
     if strategy == "window":
-        w = Window.partitionBy("doc_id").orderBy(F.desc("event_seq"))
+        w = Window.partitionBy("doc_id").orderBy(*tiebreak)
         return (
             valid.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -105,13 +121,13 @@ def dedup_lww(
         )
     if strategy == "salted_window":
         salt = F.pmod(F.xxhash64("event_seq"), F.lit(salt_partitions))
-        w1 = Window.partitionBy("doc_id", "_salt").orderBy(F.desc("event_seq"))
+        w1 = Window.partitionBy("doc_id", "_salt").orderBy(*tiebreak)
         partial = (
             valid.withColumn("_salt", salt)
             .withColumn("_rn", F.row_number().over(w1))
             .filter(F.col("_rn") == 1)
         )
-        w2 = Window.partitionBy("doc_id").orderBy(F.desc("event_seq"))
+        w2 = Window.partitionBy("doc_id").orderBy(*tiebreak)
         return (
             partial.withColumn("_rn2", F.row_number().over(w2))
             .filter(F.col("_rn2") == 1)
@@ -121,15 +137,6 @@ def dedup_lww(
 
 
 # ------------------------------------------------------------------ helpers
-def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Project df onto schema: missing -> null, narrower -> widen-cast."""
-    cols = [
-        (F.col(f.name).cast(f.dataType) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
-        for f in schema.fields
-    ]
-    return df.select(cols)
-
-
 def _validity(df: DataFrame) -> F.Column:
     """An event is valid iff op∈{I,U,D} and non-deletes carry a consistent
     payload (the reference's ingest-validator analog, SURVEY.md §2.2 P4)."""
@@ -265,7 +272,7 @@ def apply_batch(
     new_fields, schema_changed = table.evolve_schema(batch_payload_schema)
     target_schema = T.StructType(
         [
-            T.StructField(f["name"], _json_type(f["type"]), f["nullable"])
+            T.StructField(f["name"], _type_from_json(f["type"]), f["nullable"])
             for f in new_fields["fields"]
         ]
     )
@@ -377,8 +384,8 @@ def apply_batch(
         # invalid events means the upstream is broken; abort BEFORE any file is
         # written, leaving the table untouched (no commit, watermark unchanged).
         if max_invalid_ratio is not None:
-            tot = sum((r["events_in"] or 0) for r in _rows_or_dicts(dec_metrics))
-            bad = sum((r["invalid"] or 0) for r in _rows_or_dicts(dec_metrics))
+            tot = sum((r["events_in"] or 0) for r in dec_metrics.values())
+            bad = sum((r["invalid"] or 0) for r in dec_metrics.values())
             if tot and bad / tot > max_invalid_ratio:
                 raise InvalidBatchError(
                     f"batch {batch_id}: invalid ratio {bad}/{tot} exceeds "
@@ -386,7 +393,7 @@ def apply_batch(
                 )
 
         n_changed = sum(
-            (r["applied"] or 0) + (r["deleted"] or 0) for r in _rows_or_dicts(dec_metrics)
+            (r["applied"] or 0) + (r["deleted"] or 0) for r in dec_metrics.values()
         )
 
         added: list[dict] = []
@@ -452,7 +459,7 @@ def apply_batch(
         lineage = []
         for b in sorted(dec_metrics, key=lambda x: (x is None, x)):
             r = dec_metrics[b]
-            g = (lambda k: (r[k] if not isinstance(r, dict) else r.get(k)) or 0)
+            g = lambda k: r.get(k) or 0
             losers = g("events_in") - g("invalid") - g("winners")
             lineage.append(
                 {
@@ -482,10 +489,6 @@ def apply_batch(
         for df in persisted:
             df.unpersist()
     return lineage
-
-
-def _rows_or_dicts(d):
-    return list(d.values())
 
 
 def apply_batches(
@@ -594,9 +597,3 @@ def bootstrap_table(
     added = table.collect_staged_files(staging, 0)
     table.commit(added_files=added, replaced_buckets=set(range(num_buckets)))
     return table
-
-
-def _json_type(j) -> T.DataType:
-    from recidiviz_data_spark.tables.miniberg import _type_from_json
-
-    return _type_from_json(j)

@@ -63,7 +63,11 @@ def snapshot_diff(
                 F.when(F.col("op") != "D", F.col(c)).alias(c)
                 for c in payload_cols
             ],
-            F.lit(ts).cast("timestamp").alias("ts"),
+            # NTZ: the changelog contract's ts type (parquet timestamp[us]
+            # loads as NTZ; CHANGELOG_V1_SCHEMA declares NTZ) — an LTZ column
+            # here would skew through the session timezone when unioned/tailed
+            # alongside generated batches
+            F.lit(ts).cast("timestamp_ntz").alias("ts"),
             F.lit(1).cast("int").alias("schema_ver"),
         )
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -74,7 +75,11 @@ def cdc_apply_state(spark, sf_dir):
     wd = _workdir(sf_dir, "apply")
     cl = os.path.join(wd, "changelog")
     troot = os.path.join(wd, "table")
-    if not os.path.exists(cl):
+    if not os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
+        # sentinel, not dir presence: an interrupted generation must never be
+        # mistaken for a finished one (the table built on top would be wrong
+        # forever, since later runs are idempotent no-ops)
+        shutil.rmtree(cl, ignore_errors=True)
         gen_changelog(cl, n_docs=800, n_events=6000, n_batches=4, seed=7,
                       zipf_a=1.2, delete_rate=0.08, dup_rate=0.05, stale_rate=0.03)
     if Miniberg.exists(troot):
@@ -110,7 +115,8 @@ def cdc_stream_state(spark, sf_dir):
     cl = os.path.join(wd, "changelog")
     troot = os.path.join(wd, "table")
     ckpt = os.path.join(wd, "ckpt")
-    if not os.path.exists(cl):
+    if not os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
+        shutil.rmtree(cl, ignore_errors=True)
         gen_changelog(cl, n_docs=400, n_events=3000, n_batches=4, seed=11, delete_rate=0.1)
     if Miniberg.exists(troot):
         table = Miniberg(troot)

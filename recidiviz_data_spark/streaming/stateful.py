@@ -56,8 +56,12 @@ def stream_user_state(spark: SparkSession, sf_dir: str, query_name: str = "_user
     src_dir = os.path.join(tempfile.gettempdir(), f"rds_events_stream_{tag}")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # lexists (exists follows symlinks: a dangling link reads as absent and a
+    # re-create raises FileExistsError) + abspath (a relative target would
+    # dangle relative to the tempdir, silently streaming zero files)
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
     updated = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_state,

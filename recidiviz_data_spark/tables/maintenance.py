@@ -89,7 +89,9 @@ def expire_snapshots(
     import time as _time
 
     versions = table.versions()  # only EXISTING manifests (prior expiry may
-    survivors = versions[-keep_last:] or versions[-1:]  # have left gaps)
+    # have left gaps). keep_last=0 must mean "current only" — a bare
+    # versions[-0:] slice would return EVERYTHING and expire nothing
+    survivors = versions[-keep_last:] if keep_last > 0 else versions[-1:]
     keep_files = set()
     for v in survivors:
         for f in table.manifest(v)["files"]:

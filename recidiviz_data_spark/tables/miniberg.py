@@ -76,6 +76,21 @@ class CommitConflict(Exception):
     """Another writer committed this version first (CAS failure)."""
 
 
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto schema: missing column -> null, narrower physical type
+    -> widen-cast. THE single alignment rule — shared by the snapshot reader
+    and the merge writer so evolution semantics cannot drift apart."""
+    cols = [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(cols)
+
+
 class Miniberg:
     def __init__(self, root: str):
         self.root = root
@@ -236,11 +251,7 @@ class Miniberg:
         for sid, paths in by_schema.items():
             file_schema = self._schema_struct(m, sid, include_internal=True)
             df = spark.read.schema(file_schema).parquet(*paths)
-            cols = [
-                (F.col(f.name).cast(f.dataType) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
-                for f in full.fields
-            ]
-            parts.append(df.select(cols))
+            parts.append(align_to_schema(df, full))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
