@@ -16,7 +16,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 
-from recidiviz_data_spark.operators.base import _q
+from recidiviz_data_spark.operators.base import _q, _qx
 from recidiviz_data_spark.operators.relational import load
 
 MM_SCHEMA = "doc_id bigint, byte_len bigint, first_byte bigint, width bigint, height bigint, n_frames bigint"
@@ -91,3 +91,59 @@ def mm_frame_sample(spark, sf_dir):
         "doc_id",
         F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(4).cast("long"))).alias("frame"),
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, width bigint, height bigint, out_w bigint, out_h bigint"
+
+
+def fake_resize(w: int, h: int, target: int = 224) -> tuple[int, int]:
+    """Deterministic aspect-preserving 'resize' on the fake-decoded dims —
+    pure integer arithmetic so the SQL oracle reproduces it exactly.
+    (A real implementation calls PIL.Image.thumbnail here; the container has
+    no image libs, so the geometry math stands in for the pixel work.)"""
+    m = max(w, h, 1)
+    return (w * target) // m, (h * target) // m
+
+
+def _resize_batches(it):
+    for pdf in it:
+        meta = [fake_decode_meta(b) for b in pdf["payload"]]
+        w = pd.Series([m[2] for m in meta], dtype="int64")
+        h = pd.Series([m[3] for m in meta], dtype="int64")
+        mx = pd.concat([w, h], axis=1).max(axis=1).clip(lower=1)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "width": w,
+                "height": h,
+                "out_w": (w * 224) // mx,
+                "out_h": (h * 224) // mx,
+            }
+        )
+        yield out
+
+
+@_qx(
+    "x_mm_resize",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+             CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           (width * 224) // greatest(width, height, 1) AS out_w,
+           (height * 224) // greatest(width, height, 1) AS out_h
+    FROM meta
+    """,
+)
+def x_mm_resize(spark, sf_dir):
+    """Multimodal feature-extract/resize plumbing: binary payload ->
+    mapInPandas -> aspect-preserving target-box dims (vectorized integer
+    math in pandas — the exact batch shape a real PIL/opencv resize takes;
+    the pixel work is the only stubbed part, per the container's missing
+    image libs)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
