@@ -216,3 +216,42 @@ def x_winnowing_fingerprint(spark, sf_dir):
     return fp.groupBy("doc_id").agg(
         F.count("*").alias("n_fingerprints"), F.min("mh").alias("min_fp")
     )
+
+
+@_qx(
+    "x_bpe_token_count",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents)
+    SELECT lang,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_punct) AS BIGINT) AS total_punct,
+           CAST(SUM(n_punct) AS DOUBLE) / SUM(n_bpe) AS punct_ratio
+    FROM tok GROUP BY lang
+    """,
+)
+def x_bpe_token_count(spark, sf_dir):
+    """BPE-ish tokenization counts (the GPT-2-pretokenizer shape: letter
+    runs | digit runs | single punctuation) + punctuation-ratio quality
+    signal — complements t_token_count's whitespace tokens. The pattern uses
+    only ASCII character classes, which Java regex (Spark) and RE2 (DuckDB)
+    interpret identically."""
+    d = load(spark, sf_dir, "documents")
+    # idx=0 (whole match): Spark defaults to capture group 1, which these
+    # group-free patterns don't have
+    n_bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    return (
+        d.select("lang", n_bpe.alias("n_bpe"), n_punct.alias("n_punct"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_punct").alias("total_punct"),
+            (F.sum("n_punct").cast("double") / F.sum("n_bpe")).alias("punct_ratio"),
+        )
+    )
