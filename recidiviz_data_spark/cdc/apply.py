@@ -14,7 +14,7 @@ rows -> COMMIT; see SURVEY.md §3.1 entry point A):
 
 Scale design (10^10 events / 1000 executors):
 - ONE wide shuffle per batch: the LWW dedup keyed on (bucket, doc_id).
-  Default strategy ``agg`` = ``max_by(struct(payload), event_seq)`` — partial
+  Default strategy ``agg`` = ``max(struct(event_seq, op, payload))`` — partial
   aggregation (map-side combine) collapses duplicates/hot keys before the
   shuffle, so Zipf skew never concentrates raw events on one reducer.
   ``window`` (the spec-named row_number form) and ``salted_window``
@@ -84,9 +84,9 @@ def dedup_lww(
 ) -> DataFrame:
     """One winner row per doc_id: the max-event_seq event (LWW).
 
-    agg           groupBy(bucket, doc_id).max_by(payload, event_seq) — partial
-                  agg absorbs skew map-side; the shuffle moves ≤1 row per
-                  (doc, partition).
+    agg           groupBy(bucket, doc_id).max(struct(event_seq, op, payload)) —
+                  partial agg absorbs skew map-side; the shuffle moves ≤1 row
+                  per (doc, partition).
     window        row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)=1
                   (the BASELINE.json-named form); full event shuffle + sort.
     salted_window two-phase window for hot keys: partition (doc_id, salt)
@@ -106,12 +106,15 @@ def dedup_lww(
         *[F.desc_nulls_last(c) for c in payload_cols],
     ]
     if strategy == "agg":
-        w = F.struct(F.col("op"), *[F.col(c) for c in payload_cols])
-        g = valid.groupBy(BUCKET, "doc_id").agg(
-            F.max_by(w, F.col("event_seq")).alias("_w"),
-            F.max("event_seq").alias("event_seq"),
-        )
-        return g.select(BUCKET, "doc_id", "event_seq", "_w.*")
+        # struct-max, NOT max_by: max_by's tie resolution on equal event_seq
+        # depends on physical row/partition order, so two distinct payloads
+        # sharing (doc_id, event_seq) could pick different winners between
+        # bootstrap replay and incremental apply. max(struct(...)) is a
+        # lexicographic total order — same tiebreak as the window strategies
+        # and _dedup_agg_fused.
+        w = F.struct("event_seq", "op", *payload_cols)
+        g = valid.groupBy(BUCKET, "doc_id").agg(F.max(w).alias("_w"))
+        return g.select(BUCKET, "doc_id", "_w.*")
     if strategy == "window":
         w = Window.partitionBy("doc_id").orderBy(*tiebreak)
         return (

@@ -223,8 +223,8 @@ def x_winnowing_fingerprint(spark, sf_dir):
     """
     WITH tok AS (
       SELECT doc_id, lang,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
-             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]')) AS n_bpe,
+             len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r\\f]')) AS n_punct
       FROM documents)
     SELECT lang,
            CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
@@ -236,16 +236,21 @@ def x_winnowing_fingerprint(spark, sf_dir):
 def x_bpe_token_count(spark, sf_dir):
     """BPE-ish tokenization counts (the GPT-2-pretokenizer shape: letter
     runs | digit runs | single punctuation) + punctuation-ratio quality
-    signal — complements t_token_count's whitespace tokens. The pattern uses
-    only ASCII character classes, which Java regex (Spark) and RE2 (DuckDB)
-    interpret identically."""
+    signal — complements t_token_count's whitespace tokens. The whitespace
+    class is spelled out explicitly ([ \\t\\n\\r\\f]) instead of \\s because
+    Java's ASCII \\s includes vertical tab \\x0B while RE2's does not — the
+    explicit class makes Spark and DuckDB agree on every byte."""
     d = load(spark, sf_dir, "documents")
     # idx=0 (whole match): Spark defaults to capture group 1, which these
     # group-free patterns don't have
     n_bpe = F.size(
-        F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+        F.regexp_extract_all(
+            "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"), F.lit(0)
+        )
     )
-    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 \\t\\n\\r\\f]"), F.lit(0))
+    )
     return (
         d.select("lang", n_bpe.alias("n_bpe"), n_punct.alias("n_punct"))
         .groupBy("lang")

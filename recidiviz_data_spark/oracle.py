@@ -63,7 +63,11 @@ def expected_state_with_lang(changelog_dir: str, upto_batch: int | None = None) 
                     PARTITION BY doc_id
                     ORDER BY event_seq DESC, op DESC NULLS LAST,
                              tokens DESC NULLS LAST, n_tok DESC NULLS LAST,
-                             source DESC NULLS LAST) AS rn FROM log)
+                             source DESC NULLS LAST,
+                             -- lang included so the tiebreak is a TOTAL order
+                             -- over every payload column, matching the
+                             -- engine's struct(event_seq, op, *payload) max
+                             lang DESC NULLS LAST) AS rn FROM log)
             SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source, lang
             FROM w WHERE rn = 1 AND op <> 'D'
             """

@@ -32,21 +32,27 @@ def test_dedup_strategies_agree_on_same_seq_distinct_payloads(spark):
         (3, "U", "b", [7], 1, "web"),
         (4, "U", "b", [8], 1, "web"),
     ]
-    df = spark.createDataFrame(
-        rows, "event_seq long, op string, doc_id string, tokens array<int>, n_tok int, source string"
-    ).withColumn(BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
     payload = ["tokens", "n_tok", "source"]
     results = {}
-    for strat in ("agg", "window", "salted_window"):
-        got = {
-            r["doc_id"]: (r["event_seq"], r["op"], tuple(r["tokens"]), r["n_tok"], r["source"])
-            for r in dedup_lww(df, payload, strategy=strat).collect()
-        }
-        results[strat] = got
-    assert results["agg"] == results["window"] == results["salted_window"], results
+    # run every strategy over BOTH physical row orders: max_by-style tie
+    # resolution depends on encounter order, which this loop makes visible
+    # (reversing the rows used to flip the agg strategy's doc-a winner)
+    for order, ordered in (("fwd", rows), ("rev", list(reversed(rows)))):
+        df = spark.createDataFrame(
+            ordered,
+            "event_seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+        ).withColumn(BUCKET, F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
+        for strat in ("agg", "window", "salted_window"):
+            got = {
+                r["doc_id"]: (r["event_seq"], r["op"], tuple(r["tokens"]), r["n_tok"], r["source"])
+                for r in dedup_lww(df, payload, strategy=strat).collect()
+            }
+            results[(order, strat)] = got
+    first = results[("fwd", "agg")]
+    assert all(got == first for got in results.values()), results
     # the tie itself resolves to the lexicographically-max struct
-    assert results["agg"]["a"] == (5, "U", (1, 3), 2, "code")
-    assert results["agg"]["b"][0] == 4
+    assert first["a"] == (5, "U", (1, 3), 2, "code")
+    assert first["b"][0] == 4
 
 
 @settings(max_examples=200, deadline=None)
