@@ -18,16 +18,28 @@ from recidiviz_data_spark.operators.textops import PHASH_SQL, phash
 N_HASHES = 8
 N_BANDS = 4  # rows per band = 2
 
+# hot-shingle document-frequency cap: a shingle present in more than
+# DF_CAP_NUM/DF_CAP_DEN of the corpus ("in the", boilerplate headers) makes
+# the shingle equi-join quadratic WITHIN that shingle's group at corpus scale
+# while carrying no similarity signal — drop it before any pair work. The
+# hot list is provably tiny (at most avg_shingles_per_doc * DEN/NUM entries,
+# since each hot shingle accounts for > n_docs*NUM/DEN of the (doc, shingle)
+# pairs), so it broadcast-anti-joins without a shuffle. 1/10 suits the demo
+# corpus; a 100TB run would tighten toward 1/1000.
+DF_CAP_NUM = 1
+DF_CAP_DEN = 10
 
-def _shingles(spark, sf_dir):
+
+def _shingles(spark, sf_dir, docs=None):
     """Distinct 3-word shingles per doc (native HOFs: split/transform/slice).
 
     The docs are repartitioned to cluster parallelism first: HOF lambdas are
     expression-INTERPRETED per element (no codegen), so a small parquet that
     fits one input split would otherwise run the whole shingling pass on a
     single task. On a many-file lake input this repartition is a cheap no-op
-    rebalance; on a one-file demo input it is an ~8x wall-clock win."""
-    d = load(spark, sf_dir, "documents").repartition(
+    rebalance; on a one-file demo input it is an ~8x wall-clock win.
+    ``docs`` overrides the table read (test injection)."""
+    d = (docs if docs is not None else load(spark, sf_dir, "documents")).repartition(
         spark.sparkContext.defaultParallelism
     )
     words = F.split(F.trim("text"), r"\s+")
@@ -50,11 +62,44 @@ def _shingles(spark, sf_dir):
     ).distinct()
 
 
+def _shingles_capped(spark, sf_dir, docs=None):
+    """_shingles minus hot shingles (doc frequency > DF_CAP_NUM/DF_CAP_DEN of
+    the corpus). The hot list is computed with one groupBy and removed with a
+    broadcast LEFT ANTI join — the corpus-side rows never shuffle for the
+    cap, and the pair-join downstream can no longer go quadratic on a Zipf
+    head shingle."""
+    sh = _shingles(spark, sf_dir, docs=docs)
+    n_docs = (docs if docs is not None else load(spark, sf_dir, "documents")).select(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        # integer arithmetic (df/nd are exact longs) — portable to the oracle
+        .filter(F.col("df") * DF_CAP_DEN > F.col("nd") * DF_CAP_NUM)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 _SHINGLES_SQL = """
   words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w FROM documents),
   sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
          FROM words, UNNEST(generate_series(1, greatest(len(w)-2, 0))) t(i))
 """
+
+# sh minus hot shingles — the oracle mirror of _shingles_capped
+_SHINGLES_CAPPED_SQL = (
+    _SHINGLES_SQL
+    + f""",
+  ndocs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+  dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+  shc AS (SELECT sh.doc_id, sh.shingle
+          FROM sh JOIN dfreq USING (shingle) CROSS JOIN ndocs
+          WHERE df * {DF_CAP_DEN} <= nd * {DF_CAP_NUM})
+"""
+)
 
 
 @_q(
@@ -77,10 +122,10 @@ def d_exact_dedup(spark, sf_dir):
 @_q(
     "d_ngram_jaccard",
     f"""
-    WITH {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    WITH {_SHINGLES_CAPPED_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT d1, d2, shared,
            CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
@@ -88,10 +133,13 @@ def d_exact_dedup(spark, sf_dir):
     WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
     """,
 )
-def d_ngram_jaccard(spark, sf_dir):
+def d_ngram_jaccard(spark, sf_dir, docs=None):
     """Exact n-gram Jaccard near-dup pairs: shingle equi-join (the scalable
-    shape — candidate pairs only where a shingle is shared, never n²)."""
-    sh = _shingles(spark, sf_dir)
+    shape — candidate pairs only where a shingle is shared, never n²).
+    Hot shingles (df above the corpus cap) are removed first — they are the
+    one remaining quadratic trapdoor in a shingle equi-join at 100TB, and
+    jaccard is computed over the CAPPED shingle sets in both engines."""
+    sh = _shingles_capped(spark, sf_dir, docs=docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -118,7 +166,7 @@ LSH_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121)
 _LANES_VALUES = ", ".join(f"({j}, {a})" for j, a in enumerate(LSH_A))
 
 _MINHASH_SQL = f"""
-  hs AS (SELECT doc_id, {PHASH_SQL.format(x="shingle")} % {LSH_P} AS h FROM sh),
+  hs AS (SELECT doc_id, {PHASH_SQL.format(x="shingle")} % {LSH_P} AS h FROM shc),
   hashes AS (SELECT doc_id, j, MIN((h * a + j) % {LSH_P}) AS mh
              FROM hs, (VALUES {_LANES_VALUES}) lanes(j, a)
              GROUP BY doc_id, j),
@@ -132,7 +180,7 @@ _MINHASH_SQL = f"""
 @_q(
     "d_minhash_lsh",
     f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_SHINGLES_CAPPED_SQL},
     {_MINHASH_SQL}
     SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_bands_shared
     FROM bands a JOIN bands b
@@ -141,7 +189,7 @@ _MINHASH_SQL = f"""
     GROUP BY 1, 2
     """,
 )
-def d_minhash_lsh(spark, sf_dir):
+def d_minhash_lsh(spark, sf_dir, docs=None):
     """MinHash+LSH: shingle -> k=8 minhash signature -> 4 bands of 2 ->
     bucket-join on band value. Candidate pairs = docs agreeing on >=1 band.
     The band bucket-join is the 100TB-scale path (no pairwise work).
@@ -150,8 +198,11 @@ def d_minhash_lsh(spark, sf_dir):
     ONE md5 per shingle, affinely re-mixed per lane mod a Mersenne prime —
     and min-aggregated in ONE groupBy(doc_id): no 8x row explode before the
     shuffle and no 8x md5 (together those made this the slowest contract
-    query in round 1); the only explode left is 4 band rows per DOC."""
-    sh = _shingles(spark, sf_dir).withColumn(
+    query in round 1); the only explode left is 4 band rows per DOC.
+    Signatures are built over the DF-capped shingle set: a corpus-wide
+    boilerplate shingle would otherwise pin the same minhash on huge doc
+    groups and recreate the quadratic band bucket."""
+    sh = _shingles_capped(spark, sf_dir, docs=docs).withColumn(
         "h", F.pmod(phash(F.col("shingle")), F.lit(LSH_P))
     )
     mins = sh.groupBy("doc_id").agg(

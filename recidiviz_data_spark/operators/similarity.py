@@ -60,14 +60,22 @@ def _dot(a, b):
     """,
 )
 def e_vector_stats(spark, sf_dir):
-    """Array-function surface on embeddings: size/element_at/zip_with/aggregate."""
+    """Array-function surface on embeddings: size/element_at/zip_with/aggregate.
+
+    norm_sq and l2_norm both derive from _scaled's precomputed n2 (exact:
+    dot(v,v) <= 64 * 10^6 is far below 2^53) instead of re-running the O(dim)
+    dot-product aggregate per output column — HOF lambda bodies get no
+    common-subexpression elimination, so a repeated _dot literally doubles
+    the per-row work (CollapseProject won't inline n2 back in: it is a
+    non-cheap alias referenced twice; same pattern as
+    x_winnowing_fingerprint)."""
     iv = _scaled(spark, sf_dir)
     return iv.select(
         "vec_id", "label",
         F.size("v").alias("dim"),
         F.element_at("v", 1).alias("first_scaled"),
-        _dot(F.col("v"), F.col("v")).alias("norm_sq"),
-        F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("l2_norm"),
+        F.col("n2").cast("long").alias("norm_sq"),
+        F.sqrt("n2").alias("l2_norm"),
     )
 
 

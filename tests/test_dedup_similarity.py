@@ -23,6 +23,45 @@ def test_simhash_banded_equals_allpairs(spark):
     assert banded  # non-vacuous: sf0.01 has near-dup docs
 
 
+def test_hot_shingle_df_cap_bounds_candidates(spark):
+    """A corpus-wide boilerplate shingle must NOT create O(n²) candidate
+    pairs: every doc here shares the header 'terms of service apply', so an
+    uncapped shingle equi-join would emit all C(40,2)=780 pairs. With the
+    DF cap the header shingles are dropped and only the two genuinely
+    near-duplicate docs pair up — in Jaccard AND in the MinHash band join."""
+    from recidiviz_data_spark.operators.dedup import (
+        d_minhash_lsh,
+        d_ngram_jaccard,
+        _shingles,
+        _shingles_capped,
+    )
+
+    n = 40
+    rows = [
+        # unique body per doc + the planted hot header
+        (f"d{i:02d}", f"terms of service apply alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+        for i in range(n)
+    ]
+    # one true near-dup pair: identical long bodies
+    dup_body = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [("dup_a", dup_body), ("dup_b", dup_body)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    sh_all = _shingles(spark, None, docs=docs)
+    sh_cap = _shingles_capped(spark, None, docs=docs)
+    # the planted header shingles are hot (df = 42 > 42/10) and get dropped
+    hot = {"terms of service", "of service apply"}
+    kept = {r["shingle"] for r in sh_cap.select("shingle").distinct().collect()}
+    assert hot & {r["shingle"] for r in sh_all.select("shingle").distinct().collect()} == hot
+    assert not hot & kept
+
+    jac = d_ngram_jaccard(spark, None, docs=docs).collect()
+    assert {(r["d1"], r["d2"]) for r in jac} == {("dup_a", "dup_b")}, jac
+    mh = d_minhash_lsh(spark, None, docs=docs).collect()
+    # band candidates stay bounded: only the true dup pair, never the n² set
+    assert {(r["d1"], r["d2"]) for r in mh} == {("dup_a", "dup_b")}, mh
+
+
 def test_ivf_multiprobe_recall_monotone(spark):
     """nprobe is IVF's recall knob: more probed cells -> recall vs the
     brute-force top-k can only improve; nprobe=1 matches e_ann_ivf."""
