@@ -308,13 +308,17 @@ def apply_batch(
     # extra job entirely (bootstrap/first-batch fast path). On a small target
     # ("auto" below DECISION_PRUNE_MIN_BYTES) the distinct-bucket collect job
     # costs more than the unpruned 2-column scan it would save — skip it.
-    total_target_bytes = sum(f.get("bytes", 0) for f in m["files"])
+    # O(buckets) summaries — the two-level manifest means the driver never
+    # parses the file list on the apply path (reads load only touched
+    # buckets' sidecars)
+    bucket_summ = Miniberg.bucket_summaries(m)
+    total_target_bytes = sum(s.get("bytes", 0) for s in bucket_summ.values())
     prune = decision_prune is True or (
         decision_prune == "auto" and total_target_bytes >= DECISION_PRUNE_MIN_BYTES
     )
     persisted: list[DataFrame] = []
     try:
-        if not m["files"]:
+        if not bucket_summ:
             affected: list[int] | None = []
         elif prune:
             # pruning gives winners TWO consumers (this collect + the decision
@@ -333,7 +337,7 @@ def apply_batch(
         # ---- pass 2: decisions — winners vs target (doc_id, _seq) ONLY.
         # Bootstrap fast path: an empty table means no row can be stale —
         # skip the join (and its AQE stages) entirely.
-        if not m["files"]:
+        if not bucket_summ:
             matched = winners.withColumn("_t_seq", F.lit(None).cast("long"))
         else:
             target_min = (
@@ -434,9 +438,7 @@ def apply_batch(
                 target_schema,
             ).withColumn(BUCKET, bucket_expr)
 
-            files_per_bucket = {}
-            for f in m["files"]:
-                files_per_bucket[f["bucket"]] = files_per_bucket.get(f["bucket"], 0) + 1
+            files_per_bucket = {b: s["n_files"] for b, s in bucket_summ.items()}
             need_compact = compact is True or (
                 compact == "auto"
                 and any(

@@ -363,6 +363,92 @@ def ivf_search(spark, sf_dir, *, k: int = 3, nprobe: int = 1,
     ).drop("rn")
 
 
+# recall@3 of the two approximate paths vs the exact brute-force top-3 — the
+# number an operator actually tunes bands/nprobe with. Deterministic in both
+# engines: candidates, cosines, and tiebreaks are exact integer arithmetic.
+_RECALL_ORACLE = f"""
+    WITH {_SCALED_SQL},
+    {_PLANES_SQL},
+    {_IVF_SQL},
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id) rn
+        FROM iv a JOIN iv b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10) WHERE rn <= 3),
+    lshtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id) rn
+        FROM (SELECT iv.*, bucket FROM iv JOIN buckets USING (vec_id)) a
+        JOIN (SELECT iv.*, bucket FROM iv JOIN buckets USING (vec_id)) b
+          ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10) WHERE rn <= 3),
+    ivftop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qa.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qa.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id) rn
+        FROM (SELECT iv.*, assign.cent_id FROM iv JOIN assign USING (vec_id)
+              WHERE vec_id < 10) qa
+        JOIN assign ba ON ba.cent_id = qa.cent_id AND ba.vec_id <> qa.vec_id
+        JOIN iv b ON b.vec_id = ba.vec_id,
+        LATERAL (SELECT qa.v AS v, qa.n2 AS n2) a) WHERE rn <= 3),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM truth),
+    hits AS (
+      SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM ivftop JOIN truth USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM lshtop JOIN truth USING (query_id, neighbor_id))
+    SELECT method, hits, total, CAST(hits AS DOUBLE) / total AS recall
+    FROM hits CROSS JOIN tot
+    """
+
+
+@_qx("x_ann_recall", _RECALL_ORACLE)
+def x_ann_recall(spark, sf_dir):
+    """recall@3 of the LSH-bucketed and IVF (nprobe=1) ANN paths against the
+    exact brute-force top-3 — the measurement a pipeline operator tunes
+    bands/nprobe with. One row per method: (method, hits, total, recall)."""
+    iv = _scaled(spark, sf_dir)
+    q = iv.filter("vec_id < 10").alias("a")
+    b = iv.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")).cast("double") / F.sqrt(
+        F.col("a.n2") * F.col("b.n2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = (
+        F.broadcast(q)
+        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("query_id", "neighbor_id")
+    )
+    lsh = e_ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = e_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    total = truth.agg(F.count("*").alias("total"))
+
+    def _hits(approx, method):
+        return approx.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("hits")
+        ).select(F.lit(method).alias("method"), "hits")
+
+    return (
+        _hits(ivf, "ivf")
+        .unionByName(_hits(lsh, "lsh"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("recall", F.col("hits").cast("double") / F.col("total"))
+    )
+
+
 @_q("e_ann_ivf", _IVF_ORACLE)
 def e_ann_ivf(spark, sf_dir):
     """IVF ANN: coarse quantizer (nearest centroid by exact L2 on the

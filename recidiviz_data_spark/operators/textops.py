@@ -6,6 +6,8 @@ DuckDB-oracle checked.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringized
+# annotations (future-annotations) against module globals
 from pyspark.sql import functions as F
 
 from recidiviz_data_spark.operators.base import _q, _qx
@@ -260,3 +262,120 @@ def x_bpe_token_count(spark, sf_dir):
             (F.sum("n_punct").cast("double") / F.sum("n_bpe")).alias("punct_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------- merge-table BPE
+# A real byte-pair-encoding merge table (rank-ordered; every multi-char part
+# is created by a strictly earlier merge, as a trained table guarantees).
+# Toy-sized on purpose — the mechanism (broadcast merge dict + Arrow-batched
+# encoder), not the table, is the operator.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"),
+    ("a", "l"), ("in", "g"), ("c", "h"), ("l", "l"), ("s", "e"),
+]
+
+_BPE_MERGES_VALUES = ", ".join(
+    f"({r}, '{x}', '{y}')" for r, (x, y) in enumerate(BPE_MERGES)
+)
+
+# The oracle runs the SAME merge table through a recursive CTE: token
+# boundaries are '|' separators; each step applies the best-ranked (lowest
+# rank) merge present, at its LEFTMOST occurrence, one at a time. For a
+# consistent table (parts exist before use) this is equivalent to classic
+# BPE's merge-all-occurrences loop, and the Python encoder below implements
+# the identical one-at-a-time rule so equality is structural, not lucky.
+_BPE_SQL = f"""
+    merges(rank, x, y) AS (VALUES {_BPE_MERGES_VALUES}),
+    docw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+')) AS word
+             FROM documents),
+    words AS (SELECT DISTINCT word FROM docw WHERE word <> ''),
+    enc(word, state) AS (
+      SELECT word, '|' || array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)), '|') || '|'
+      FROM words
+      UNION ALL
+      SELECT e.word,
+             substr(e.state, 1, position(('|' || m.x || '|' || m.y || '|') IN e.state) - 1)
+             || '|' || m.x || m.y ||
+             substr(e.state, position(('|' || m.x || '|' || m.y || '|') IN e.state)
+                              + length(m.x) + length(m.y) + 2)
+      FROM enc e JOIN merges m
+        ON position(('|' || m.x || '|' || m.y || '|') IN e.state) > 0
+      WHERE NOT EXISTS (SELECT 1 FROM merges m2 WHERE m2.rank < m.rank
+                        AND position(('|' || m2.x || '|' || m2.y || '|') IN e.state) > 0)
+    ),
+    final AS (SELECT word, state FROM enc e
+              WHERE NOT EXISTS (SELECT 1 FROM merges m
+                                WHERE position('|'||m.x||'|'||m.y||'|' IN e.state) > 0)),
+    wc AS (SELECT word, length(state) - length(replace(state, '|', '')) - 1 AS n_tok
+           FROM final),
+    per_doc AS (SELECT d.doc_id, SUM(wc.n_tok) AS n
+                FROM docw d JOIN wc USING (word) GROUP BY d.doc_id)
+"""
+
+
+@_qx(
+    "x_subword_bpe",
+    f"""
+    WITH RECURSIVE {_BPE_SQL}
+    SELECT doc_id, CAST(COALESCE(per_doc.n, 0) AS BIGINT) AS n_subword
+    FROM documents LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def x_subword_bpe(spark, sf_dir):
+    """Merge-table BPE token counting: the merge dict (BPE_MERGES, rank ->
+    pair) is broadcast to executors and an Arrow-batched pandas_udf encodes
+    each document — the real subword-tokenizer shape (vs the regex
+    pretokenizer in x_bpe_token_count). Per Arrow batch a word-level memo
+    collapses repeated words, so cost scales with distinct words per batch.
+    NOT a row-at-a-time Python UDF: the plan shows ArrowEvalPython
+    (tests/test_plans.py asserts BatchEvalPython never appears)."""
+    ranks = {pair: r for r, pair in enumerate(BPE_MERGES)}
+    pairs = list(BPE_MERGES)
+    bc = spark.sparkContext.broadcast((ranks, pairs))
+
+    @F.pandas_udf("long")
+    def n_subword_udf(texts: pd.Series) -> pd.Series:
+        ranks, pairs = bc.value
+        memo: dict[str, int] = {}
+
+        def word_count(w: str) -> int:
+            n = memo.get(w)
+            if n is not None:
+                return n
+            toks = list(w)
+            while True:
+                best = None
+                for i in range(len(toks) - 1):
+                    r = ranks.get((toks[i], toks[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                x, y = pairs[best]
+                for i in range(len(toks) - 1):  # leftmost occurrence only
+                    if toks[i] == x and toks[i + 1] == y:
+                        toks[i : i + 2] = [x + y]
+                        break
+            memo[w] = len(toks)
+            return memo[w]
+
+        import re
+
+        ws = re.compile(r"[ \t\n\r\f]+")  # explicit class: Python's str.split
+        # and engine \s definitions disagree on \x0B / Unicode spaces
+
+        def doc_count(text) -> int:
+            if text is None:
+                return 0
+            return sum(word_count(w) for w in ws.split(text.lower()) if w)
+
+        return texts.map(doc_count).astype("int64")
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.select("doc_id", n_subword_udf("text").alias("n_subword"))

@@ -45,9 +45,9 @@ def compact(
     lookups skip row groups inside a bucket — the hot apply path stays
     unsorted (write latency first; compaction restores order)."""
     m = table.manifest()
-    per_bucket: dict[int, int] = {}
-    for f in m["files"]:
-        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    per_bucket = {
+        b: s["n_files"] for b, s in Miniberg.bucket_summaries(m).items()
+    }
     todo = sorted(
         b for b, n in per_bucket.items()
         if (buckets is None or b in set(buckets)) and (n >= min_files or tombstone_horizon is not None)
@@ -93,8 +93,12 @@ def expire_snapshots(
     # versions[-0:] slice would return EVERYTHING and expire nothing
     survivors = versions[-keep_last:] if keep_last > 0 else versions[-1:]
     keep_files = set()
+    keep_sidecars = set()
     for v in survivors:
-        for f in table.manifest(v)["files"]:
+        m = table.manifest(v)
+        for s in m.get("buckets", {}).values():
+            keep_sidecars.add(os.path.join(table.root, s["path"]))
+        for f in table.files(manifest=m):
             keep_files.add(os.path.join(table.root, f["path"]))
 
     removed: list[str] = []
@@ -114,6 +118,16 @@ def expire_snapshots(
                 removed.append(p)
         except OSError:
             continue  # a concurrent GC/compactor got there first
+    # sidecars pinned only by expired snapshots go with them (same grace)
+    for p in glob.glob(os.path.join(table.fm_dir, "*.json")):
+        if p in keep_sidecars:
+            continue
+        try:
+            if now - os.path.getmtime(p) >= grace_seconds:
+                os.unlink(p)
+                removed.append(p)
+        except OSError:
+            continue
     return removed
 
 
@@ -155,17 +169,13 @@ def split_buckets(
 def table_stats(table: Miniberg) -> dict:
     """Operational summary: files/rows/bytes per bucket, snapshot count."""
     m = table.manifest()
-    per_bucket: dict[int, dict] = {}
-    for f in m["files"]:
-        b = per_bucket.setdefault(f["bucket"], {"files": 0, "rows": 0})
-        b["files"] += 1
-        b["rows"] += f["rows"]
+    summ = Miniberg.bucket_summaries(m)  # O(buckets): no sidecar reads
     return {
         "version": m["version"],
         "snapshots": len(glob.glob(os.path.join(table.meta_dir, "v*.json"))),
-        "files": len(m["files"]),
-        "rows": sum(f["rows"] for f in m["files"]),
-        "max_files_per_bucket": max((b["files"] for b in per_bucket.values()), default=0),
+        "files": sum(s["n_files"] for s in summ.values()),
+        "rows": sum(s["rows"] for s in summ.values()),
+        "max_files_per_bucket": max((s["n_files"] for s in summ.values()), default=0),
         "last_applied_batch": m["last_applied_batch"],
         "schema_id": m["schema_id"],
     }

@@ -26,16 +26,25 @@ staging write and the manifest link) are invisible: the manifest is the sole
 source of truth. ``gc_orphans`` removes them (with a grace window so a racing
 writer's just-staged files survive until its CAS resolves).
 
+TWO-LEVEL MANIFEST (the Iceberg manifest-list analog): ``v{N}.json`` holds
+one summary row per bucket (sidecar path + n_files/rows/bytes) and the file
+entries live in content-addressed, immutable per-bucket sidecars under
+``meta/fm/<md5>.json``. Consequences at lake scale:
+
+- commit is O(buckets): carried buckets re-reference their existing sidecar
+  verbatim (same content -> same hash -> no write); only replaced buckets
+  get new sidecars. The driver never parses the full file list to commit.
+- read is O(touched buckets): bucket pruning prunes the manifest parse too.
+- legacy single-level manifests (a top-level ``files`` list) remain
+  readable; the first commit on top of one migrates it to sidecars.
+
 LIMITS (documented scale envelope; see maintenance.py for the mitigations):
 
-- **Manifest = single JSON with the full file list.** Measured ~120 bytes per
-  file entry + ~1 KiB fixed: 10k files ≈ 1.2 MiB, 1M files ≈ 120 MiB per
-  snapshot version — driver-side O(files) parse per commit/read. Compaction
+- **v{N}.json is O(buckets)** (~90 bytes/bucket): 10^5 buckets ≈ 9 MiB per
+  snapshot — the practical bucket ceiling before a third level
+  (manifest-list of bucket-range manifests) would be needed. Compaction
   (``compact``, or ``compact='auto'`` in apply) bounds files at
-  ~``compact_files_per_bucket`` per bucket, so the real constraint is bucket
-  count; manifests stay in the KB-MB range when compaction runs. A true
-  Iceberg-style two-level manifest (manifest-list -> per-bucket avro) is the
-  upgrade path if buckets ever exceed ~10^5.
+  ~``compact_files_per_bucket`` per bucket, so sidecars stay tiny.
 - **num_buckets is chosen at creation**, and a COW rewrite touches whole
   buckets — at 100 TB a 16-bucket table would make every merge rewrite
   multi-TB. ``maintenance.split_buckets`` re-buckets N -> factor*N in one
@@ -48,6 +57,7 @@ LIMITS (documented scale envelope; see maintenance.py for the mitigations):
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import shutil
@@ -97,6 +107,7 @@ class Miniberg:
         self.meta_dir = os.path.join(root, "meta")
         self.data_dir = os.path.join(root, "data")
         self.lineage_dir = os.path.join(self.meta_dir, "lineage")
+        self.fm_dir = os.path.join(self.meta_dir, "fm")
 
     # ------------------------------------------------------------- creation
     @classmethod
@@ -113,6 +124,7 @@ class Miniberg:
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         os.makedirs(t.lineage_dir, exist_ok=True)
+        os.makedirs(t.fm_dir, exist_ok=True)
         fields = [
             {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue(), "nullable": f.nullable}
             for i, f in enumerate(schema.fields)
@@ -127,7 +139,7 @@ class Miniberg:
             "num_buckets": num_buckets,
             "key_col": key_col,
             "bucket_expr": f"pmod(xxhash64({key_col}), {num_buckets})",
-            "files": [],
+            "buckets": {},  # two-level: bucket -> sidecar summary
             "last_applied_batch": -1,
             "props": props or {},
         }
@@ -178,6 +190,91 @@ class Miniberg:
             raise CommitConflict(f"version {version} already committed") from e
         finally:
             os.unlink(tmp)
+
+    # ------------------------------------------------------- two-level files
+    def _write_sidecar(self, entries: list[dict]) -> str:
+        """Write one bucket's file-entry list as a content-addressed sidecar
+        (``meta/fm/<md5>.json``). Immutable + idempotent: an unchanged bucket
+        re-derives the same hash, so carrying it across snapshots writes
+        nothing; two racing writers of the same content are both correct."""
+        os.makedirs(self.fm_dir, exist_ok=True)
+        payload = json.dumps(sorted(entries, key=lambda e: e["path"]), sort_keys=True)
+        h = hashlib.md5(payload.encode()).hexdigest()
+        rel = os.path.join("meta", "fm", f"{h}.json")
+        dest = os.path.join(self.root, rel)
+        if not os.path.exists(dest):
+            tmp = dest + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, dest)
+            except FileExistsError:
+                pass  # same content-addressed sidecar already exists
+            finally:
+                os.unlink(tmp)
+        return rel
+
+    def _load_sidecar(self, rel_path: str) -> list[dict]:
+        with open(os.path.join(self.root, rel_path)) as f:
+            return json.load(f)
+
+    @staticmethod
+    def bucket_summaries(m: dict) -> dict[int, dict]:
+        """Per-bucket {n_files, rows, bytes[, path]} — O(buckets), never
+        touches sidecars. Legacy single-level manifests are summarized from
+        their inline file list."""
+        if "buckets" in m:
+            return {int(bk): dict(s) for bk, s in m["buckets"].items()}
+        out: dict[int, dict] = {}
+        for f in m.get("files", []):
+            s = out.setdefault(f["bucket"], {"n_files": 0, "rows": 0, "bytes": 0})
+            s["n_files"] += 1
+            s["rows"] += f.get("rows", 0)
+            s["bytes"] += f.get("bytes", 0)
+        return out
+
+    def files(
+        self, version: int | None = None, *, buckets: list[int] | None = None,
+        manifest: dict | None = None,
+    ) -> list[dict]:
+        """File entries for a snapshot, loading ONLY the sidecars of the
+        requested buckets (bucket pruning prunes the manifest parse too)."""
+        m = manifest if manifest is not None else self.manifest(version)
+        if "buckets" not in m:  # legacy single-level layout
+            fs = m.get("files", [])
+            if buckets is None:
+                return list(fs)
+            bset = set(buckets)
+            return [f for f in fs if f["bucket"] in bset]
+        out: list[dict] = []
+        bset = None if buckets is None else {str(b) for b in buckets}
+        for bk, s in m["buckets"].items():
+            if bset is not None and bk not in bset:
+                continue
+            out.extend(self._load_sidecar(s["path"]))
+        return out
+
+    def _bucket_entries_migrated(self, m: dict) -> dict[str, dict]:
+        """Parent manifest's buckets as {bucket_str: summary-with-path}. A
+        legacy parent is migrated here: its inline list is grouped per bucket
+        and written out as sidecars ONCE (the first commit on top of a
+        single-level manifest upgrades the layout)."""
+        if "buckets" in m:
+            return dict(m["buckets"])
+        grouped: dict[str, list[dict]] = {}
+        for f in m.get("files", []):
+            grouped.setdefault(str(f["bucket"]), []).append(f)
+        return {
+            bk: {
+                "path": self._write_sidecar(entries),
+                "n_files": len(entries),
+                "rows": sum(e.get("rows", 0) for e in entries),
+                "bytes": sum(e.get("bytes", 0) for e in entries),
+            }
+            for bk, entries in grouped.items()
+        }
 
     # ------------------------------------------------------------- schema
     def spark_schema(self, version: int | None = None, *, include_internal: bool = True) -> T.StructType:
@@ -238,10 +335,7 @@ class Miniberg:
         m = self.manifest(version)
         full = self._schema_struct(m, m["schema_id"], include_internal=True)
         user = self._schema_struct(m, m["schema_id"], include_internal=False)
-        files = m["files"]
-        if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+        files = self.files(buckets=buckets, manifest=m)
         if not files:
             return spark.createDataFrame([], full if include_internal else user)
         by_schema: dict[int, list[str]] = {}
@@ -262,8 +356,7 @@ class Miniberg:
         return out.select([f.name for f in user.fields])
 
     def data_files(self, version: int | None = None, buckets: list[int] | None = None) -> list[str]:
-        m = self.manifest(version)
-        fs = m["files"] if buckets is None else [f for f in m["files"] if f["bucket"] in set(buckets)]
+        fs = self.files(version, buckets=buckets)
         return [os.path.join(self.root, f["path"]) for f in fs]
 
     # ------------------------------------------------------------- write path
@@ -305,8 +398,11 @@ class Miniberg:
         props: dict | None = None,
         num_buckets: int | None = None,
     ) -> int:
-        """Create snapshot N+1: carry over files outside ``replaced_buckets``,
-        add ``added_files``. Atomic; raises CommitConflict if raced.
+        """Create snapshot N+1: carry over buckets outside
+        ``replaced_buckets`` (their sidecars are re-referenced verbatim — an
+        O(buckets) commit that never parses the full file list), add
+        ``added_files`` as fresh per-bucket sidecars. Atomic; raises
+        CommitConflict if raced.
 
         ``num_buckets`` re-declares the table's bucket function atomically with
         this commit (bucket-split maintenance): EVERY pre-existing bucket must
@@ -319,8 +415,25 @@ class Miniberg:
         new["version"] = parent_v + 1
         new["parent"] = parent_v
         replaced = replaced_buckets or set()
-        carried = [f for f in m["files"] if f["bucket"] not in replaced]
-        new["files"] = carried + added_files
+        parent_buckets = self._bucket_entries_migrated(m)
+        carried = {
+            bk: s for bk, s in parent_buckets.items() if int(bk) not in replaced
+        }
+        added_by_bucket: dict[str, list[dict]] = {}
+        for f in added_files:
+            added_by_bucket.setdefault(str(f["bucket"]), []).append(f)
+        new_buckets = dict(carried)
+        for bk, entries in added_by_bucket.items():
+            if bk in new_buckets:  # append into a carried bucket (rare path)
+                entries = self._load_sidecar(new_buckets[bk]["path"]) + entries
+            new_buckets[bk] = {
+                "path": self._write_sidecar(entries),
+                "n_files": len(entries),
+                "rows": sum(e.get("rows", 0) for e in entries),
+                "bytes": sum(e.get("bytes", 0) for e in entries),
+            }
+        new["buckets"] = new_buckets
+        new.pop("files", None)  # layout migration: inline list never carried
         if schema_fields is not None:
             old_fields = m["schemas"][str(m["schema_id"])]["fields"]
             if schema_fields["fields"] != old_fields:
@@ -341,7 +454,7 @@ class Miniberg:
             if carried:
                 raise CommitConflict(
                     "num_buckets change requires replacing every existing "
-                    f"bucket in the same commit ({len(carried)} files carried)"
+                    f"bucket in the same commit ({len(carried)} buckets carried)"
                 )
             new["num_buckets"] = num_buckets
             new["bucket_expr"] = f"pmod(xxhash64({m['key_col']}), {num_buckets})"
@@ -376,8 +489,12 @@ class Miniberg:
         import time as _time
 
         referenced = set()
+        referenced_sidecars = set()
         for v in self.versions():
-            for f in self.manifest(v)["files"]:
+            m = self.manifest(v)
+            for s in m.get("buckets", {}).values():
+                referenced_sidecars.add(os.path.join(self.root, s["path"]))
+            for f in self.files(manifest=m):
                 referenced.add(os.path.join(self.root, f["path"]))
         now = _time.time()
         removed = []
@@ -390,6 +507,17 @@ class Miniberg:
                     removed.append(p)
             except OSError:
                 continue  # a concurrent GC/compactor got there first
+        # orphaned sidecars (written by a commit whose CAS lost, or left by
+        # expired snapshots) — same grace rule as data files
+        for p in glob.glob(os.path.join(self.fm_dir, "*.json")):
+            if p in referenced_sidecars:
+                continue
+            try:
+                if now - os.path.getmtime(p) >= grace_seconds:
+                    os.unlink(p)
+                    removed.append(p)
+            except OSError:
+                continue
         for d in glob.glob(os.path.join(self.root, "tmp", "stage-*")):
             try:
                 young = now - os.path.getmtime(d) < grace_seconds

@@ -57,8 +57,9 @@ def test_racing_commits_serialize_without_lost_updates(tmp_path):
     # every commit landed exactly once: version count and file-list size both
     # equal the number of commits (no bucket was replaced, only appends)
     assert m["version"] == total
-    assert len(m["files"]) == total
-    paths = {f["path"] for f in m["files"]}
+    files = table.files(manifest=m)
+    assert len(files) == total
+    paths = {f["path"] for f in files}
     assert len(paths) == total  # no lost updates, no duplicates
     # the chain is gap-free and parent-linked
     for v in range(1, total + 1):

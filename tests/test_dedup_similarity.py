@@ -78,8 +78,12 @@ def test_ivf_multiprobe_recall_monotone(spark):
         hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
         return hits / sum(len(t) for t in truth.values())
 
-    r1, r2 = recall(1), recall(2)
-    assert r2 >= r1, (r1, r2)
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    assert r3 >= r2 >= r1, (r1, r2, r3)
+    # deterministic input -> fixed values (0.26 / 0.38 / 0.52 at sf0.01);
+    # the floor guards against a probe-selection regression silently
+    # gutting recall while staying monotone
+    assert r3 >= 0.4, (r1, r2, r3)
     # consistency: nprobe=1 at k=3 reproduces the contract query exactly
     a = {tuple(r) for r in ivf_search(spark, SF_DIR, k=3, nprobe=1).collect()}
     b = {

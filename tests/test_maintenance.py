@@ -35,10 +35,9 @@ def test_compact_sorts_within_bucket_files(spark, changelog_plain, tmp_path):
     d, _ = changelog_plain
     table = _loaded_table(spark, d, tmp_path, "tsort")
     compact(spark, table, sort=True)
-    m = table.manifest()
     import os
 
-    for f in m["files"]:
+    for f in table.files():
         ids = pq.read_table(os.path.join(table.root, f["path"]), columns=["doc_id"])[
             "doc_id"
         ].to_pylist()
@@ -77,7 +76,7 @@ def test_split_buckets_preserves_state_and_future_applies(spark, changelog_small
     v = split_buckets(spark, table)
     m = table.manifest()
     assert m["num_buckets"] == 8 and m["version"] == v
-    assert all(f["bucket"] < 8 for f in m["files"])
+    assert all(f["bucket"] < 8 for f in table.files(manifest=m))
     assert_state_equal(table_state(spark, table), expected_state(d, upto_batch=2))
     # the split plan must be map-only: bucket-pure inputs fan out locally
     df = table.read(spark, version=v - 1, include_internal=True).withColumn(
@@ -87,7 +86,7 @@ def test_split_buckets_preserves_state_and_future_applies(spark, changelog_small
     # every row sits in the bucket the NEW function assigns it (file purity)
     import os
 
-    for f in m["files"]:
+    for f in table.files(manifest=m):
         rows = spark.read.parquet(os.path.join(table.root, f["path"])).select("doc_id")
         bad = rows.filter(
             F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int") != f["bucket"]

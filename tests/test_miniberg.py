@@ -139,3 +139,63 @@ def test_manifest_is_sole_source_of_truth(tmp_path):
         assert m["format"] == "miniberg/1"
     assert table.manifest(0)["last_applied_batch"] == -1
     assert table.manifest(1)["last_applied_batch"] == 0
+
+
+def test_legacy_single_level_manifest_migrates(spark, changelog_plain, tmp_path):
+    """Round-2 tables carried the file list INLINE in v{N}.json. A legacy
+    manifest must (a) read correctly as-is, and (b) be migrated to the
+    two-level layout (per-bucket sidecars) by the first commit on top."""
+    d, _ = changelog_plain
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    apply_batches(spark, table, d, upto=0)
+
+    # rewrite the current manifest in the legacy layout: inline "files",
+    # no "buckets" key (exactly what a round-2 writer produced)
+    v = table.current_version()
+    m = table.manifest(v)
+    legacy = dict(m)
+    legacy["files"] = table.files(manifest=m)
+    legacy.pop("buckets")
+    os.unlink(table._vpath(v))
+    with open(table._vpath(v), "w") as f:
+        json.dump(legacy, f)
+
+    # (a) reads + summaries work on the legacy layout unchanged
+    assert "buckets" not in table.manifest(v)
+    assert_state_equal(table_state(spark, table), expected_state(d, upto_batch=0))
+    summ = Miniberg.bucket_summaries(table.manifest(v))
+    assert sum(s["n_files"] for s in summ.values()) == len(legacy["files"])
+
+    # (b) the next commit migrates: new manifest is two-level, carries every
+    # carried bucket as a sidecar reference, and state stays oracle-exact
+    apply_batches(spark, table, d)
+    m2 = table.manifest()
+    assert "files" not in m2 and "buckets" in m2
+    for s in m2["buckets"].values():
+        assert os.path.exists(os.path.join(table.root, s["path"]))
+    assert_state_equal(table_state(spark, table), expected_state(d))
+
+
+def test_unchanged_buckets_reuse_sidecars(spark, tmp_path):
+    """Content-addressed sidecars: a commit that replaces only SOME buckets
+    must re-reference the untouched buckets' sidecar files verbatim (same
+    path, no rewrite) — the O(buckets) commit property."""
+    from tests.test_tombstones import write_batch
+
+    cl = str(tmp_path / "cl")
+    write_batch(cl, 0, [{"seq": i, "op": "I", "doc": f"d{i}", "tokens": [i]} for i in range(40)])
+    write_batch(cl, 1, [{"seq": 100, "op": "U", "doc": "d0", "tokens": [9]}])
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=8)
+    apply_batches(spark, table, cl, upto=0)
+    m1 = table.manifest()
+    apply_batches(spark, table, cl)  # batch 1 touches d0's bucket ONLY
+    m2 = table.manifest()
+    untouched = [
+        bk for bk in m1["buckets"]
+        if bk in m2["buckets"] and m2["buckets"][bk] == m1["buckets"][bk]
+    ]
+    replaced = [bk for bk in m2["buckets"] if m2["buckets"][bk] != m1["buckets"].get(bk)]
+    assert len(replaced) == 1, (replaced, untouched)
+    assert len(untouched) == len(m1["buckets"]) - 1
+    for bk in untouched:
+        assert m2["buckets"][bk]["path"] == m1["buckets"][bk]["path"]

@@ -128,3 +128,14 @@ def test_normalizer_is_codegen_not_python(spark, changelog_plain):
     # Spark 4 formatted plans mark whole-stage codegen spans as `* ` nodes
     # with a `[codegen id : N]` tag
     assert "codegen id" in plan, plan
+
+
+def test_subword_bpe_is_arrow_not_row_python(spark):
+    """The merge-table BPE encoder must ride Arrow batches (ArrowEvalPython),
+    never the row-at-a-time Python path."""
+    from recidiviz_data_spark.operators.textops import x_subword_bpe
+
+    df = x_subword_bpe(spark, SF)
+    plan = plan_string(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert_no_row_python(df)

@@ -114,10 +114,10 @@ def test_stale_only_batch_rewrites_no_buckets(spark, tmp_path):
     write_batch(cl, 1, [{"seq": 5, "op": "U", "doc": d, "tokens": [2, 2]} for d in "abcdef"])
     table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
     apply_batches(spark, table, cl, upto=0)
-    files_before = {f["path"] for f in table.manifest()["files"]}
+    files_before = {f["path"] for f in table.files()}
     lineage = apply_batches(spark, table, cl)  # batch 1: all stale
     assert sum(r["skipped_stale"] for r in lineage) == 6
-    files_after = {f["path"] for f in table.manifest()["files"]}
+    files_after = {f["path"] for f in table.files()}
     assert files_before == files_after, "stale-only batch must not rewrite data"
 
 
@@ -143,7 +143,7 @@ def test_manifest_file_bytes_are_real_sizes(spark, tmp_path):
     write_batch(cl, 0, [{"seq": i, "op": "I", "doc": f"d{i}", "tokens": [i]} for i in range(50)])
     table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=2)
     apply_batches(spark, table, cl)
-    for f in table.manifest()["files"]:
+    for f in table.files():
         actual = os.path.getsize(os.path.join(table.root, f["path"]))
         assert f["bytes"] == actual and actual > 500, f
 

@@ -71,3 +71,96 @@ def test_watermark_finalizes_windows_exactly_once(spark, tmp_path):
     assert hour0 == [2], emitted
     # hour-5 window (03:00Z) finalized once the watermark passed it
     assert [n for h, n in emitted if h == 3] == [2], emitted
+
+
+def test_watermarked_stream_matches_batch_tumbling(spark, tmp_path):
+    """readStream + withWatermark + 1-day windowed agg in APPEND mode over the
+    events table (4 ts-ordered micro-batches) == the batch st_tumbling_daily
+    aggregate, modulo windows the final watermark never passed (the last
+    day(s) stay in state when the availableNow stream stops). Closes the one
+    §2.7 surface the batch-deterministic engine paths don't exercise."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    sf = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(os.path.join(sf, "events.parquet"),
+                        columns=["ts", "event_type", "value"])
+    tbl = tbl.sort_by("ts")
+    n = tbl.num_rows
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    t0 = 1_700_000_000
+    for i in range(4):
+        chunk = tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(chunk, p)
+        os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+    # watermark visible after batch 3 = max ts of files 0..2 - 1h: windows
+    # ending at or before it are GUARANTEED emitted by the final batch
+    wm3 = max(
+        pq.read_table(os.path.join(src, f"b{i}.parquet"))["ts"].to_pylist()
+        for i in range(3)
+    )[-1]
+
+    # withWatermark requires TIMESTAMP (LTZ), not NTZ; pin the session TZ to
+    # UTC so the parquet's naive micros round-trip bit-identically on both
+    # the stream and batch sides AND compare cleanly against pyarrow's naive
+    # datetimes (wm3)
+    tz_prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "ts timestamp, event_type string, value double"
+    agg_cols = lambda g: g.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    ).select(
+        F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+        F.col("w.end").alias("w_end"),
+        "event_type", "n", "total_value",
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        agg_cols(
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_daily")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+
+        batch = agg_cols(
+            spark.read.schema(schema).parquet(src)
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        )
+        expected = {
+            (r["day"], r["event_type"]): (r["n"], r["total_value"], r["w_end"])
+            for r in batch.collect()
+        }
+        emitted = {
+            (r["day"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.table("wm_daily").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_prev)
+    assert emitted, "append-mode stream emitted nothing"
+    # every emitted window is EXACTLY the batch answer (same counts and the
+    # same decimal-summed total) — append emits a window at most once
+    for k, (n_em, tv_em) in emitted.items():
+        assert k in expected, k
+        assert (n_em, tv_em) == expected[k][:2], (k, emitted[k], expected[k])
+    # completeness modulo the final window(s): everything the watermark
+    # passed before the last batch must have been emitted
+    from datetime import timedelta
+
+    for k, (_, _, w_end) in expected.items():
+        if w_end <= wm3 - timedelta(hours=1):
+            assert k in emitted, (k, sorted(emitted))
+    # and the tail is the ONLY thing missing
+    assert set(emitted) | {
+        k for k, v in expected.items() if v[2] > wm3 - timedelta(hours=1)
+    } >= set(expected)
