@@ -37,13 +37,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 20M events: Amdahl accounting (BENCH/BASELINE.md) measured serial ~2.3 s /
-# parallel ~53.5 s at 12M, i.e. quiet-host 1->4 efficiency ~0.89 with only
-# ~0.09 margin over the 0.8 target — a single 15%-contaminated 4N sample
-# sank the round-2 recorded number to 0.774. At 20M the parallel fraction
-# grows to ~89 s (quiet efficiency ~0.93) so the same contamination still
-# clears 0.8.
-N_EVENTS = int(os.environ.get("RDS_BENCH_EVENTS", str(20_000_000)))
+# 12M events: measured round-3 probes — quiet tn 55.8 s, quiet 4N per-event
+# throughput ~750k ev/s (t4n ~16 s) -> quiet efficiency ~0.87. A 20M variant
+# was probed and REJECTED: its sublinear-scaling term grows with input
+# (quiet pair 91 s / 26.7 s = 0.85), so bigger input buys no margin. The
+# defense against contaminated samples is sampling (floor + per-level
+# resampling below), not input size.
+N_EVENTS = int(os.environ.get("RDS_BENCH_EVENTS", str(12_000_000)))
 N_DOCS = max(N_EVENTS // 10, 1000)
 # one big batch: the N->4N proxy needs the parallel fraction to dominate the
 # per-batch driver-serial term (plan/commit ~2-3s); multi-batch apply behavior
@@ -53,21 +53,30 @@ SCALE_N = int(os.environ.get("RDS_BENCH_SCALE_N", "1"))  # N cores
 SHUFFLE_P = 32  # identical at all parallelism levels (same plan, same data)
 REPEAT = int(os.environ.get("RDS_BENCH_REPEAT", "2"))  # interleaved min-of-N
 # host-contention guard: keep sampling the scale pair (up to this many extra
-# rounds) while the per-level MINIMA are still improving — a noise-stability
-# criterion, deliberately blind to the efficiency metric itself so stopping
-# cannot bias the reported value (optional stopping on the metric would)
-EXTRA_REPEAT = int(os.environ.get("RDS_BENCH_EXTRA_REPEAT", "3"))
+# rounds) while a level's MINIMUM is still improving or below the validity
+# floor — noise-stability criteria on per-level timings, deliberately blind
+# to the efficiency metric itself so stopping cannot bias the reported value
+# (optional stopping on the metric would). Extra rounds resample ONLY the
+# levels that still need it: a contaminated 4N retry costs ~17 s, so many
+# retries fit the budget.
+EXTRA_REPEAT = int(os.environ.get("RDS_BENCH_EXTRA_REPEAT", "8"))
 STABLE_EPS = 0.02  # a new sample improving the prior min by <2% = stable
-# contamination floor: this engine demonstrably sustains >700k events/s at
-# local[4] on a quiet host (766k measured round 2); a 4N minimum far below
-# that means every sample so far was taken under host contention — keep
-# sampling (one-sided validity check on a single level's absolute
-# throughput, still blind to the efficiency ratio, so it cannot cherry-pick
-# the reported metric)
-EXPECTED_4N_EPS_MIN = float(os.environ.get("RDS_BENCH_4N_EPS_MIN", "500000"))
+# contamination floor: this engine demonstrably sustains ~750-770k events/s
+# at local[4] on a quiet host (766k round 2 at 12M; 749k round 3 at 20M); a
+# 4N minimum clearly below that means every 4N sample so far was taken
+# under host contention — keep sampling (one-sided validity check on a
+# single level's absolute throughput, still blind to the efficiency ratio,
+# so it cannot cherry-pick the reported metric). Round 2's recorded miss
+# (0.774) traces exactly to a 615k-contaminated 4N min that the old 350k
+# floor waved through.
+EXPECTED_4N_EPS_MIN = float(os.environ.get("RDS_BENCH_4N_EPS_MIN", "680000"))
+# symmetric floor for the N level (quiet local[1] sustains ~215k ev/s): a
+# contaminated SLOW tn would otherwise INFLATE the ratio — the validity
+# check must guard both directions, not just the one that hurts the score
+EXPECTED_N_EPS_MIN = float(os.environ.get("RDS_BENCH_N_EPS_MIN", "195000"))
 # stop taking extra samples past this much total bench wall (stay inside any
 # outer harness timeout even on a badly contended host)
-TIME_BUDGET_SEC = float(os.environ.get("RDS_BENCH_TIME_BUDGET", "560"))
+TIME_BUDGET_SEC = float(os.environ.get("RDS_BENCH_TIME_BUDGET", "780"))
 # query section: interleaved min-of-N, same contention discipline as the CDC
 # section (round 2 printed a 12.3 s sample for a 1.5 s query)
 QUERY_REPEAT = int(os.environ.get("RDS_BENCH_QUERY_REPEAT", "3"))
@@ -179,19 +188,25 @@ def main() -> None:
             *prior, last = samples
             return last >= min(prior) * (1 - STABLE_EPS)
 
-        def _contaminated() -> bool:
+        def _contaminated(level: int, floor: float) -> bool:
             return (
                 N_EVENTS >= 4_000_000
-                and N_EVENTS / min(times[hi]) < EXPECTED_4N_EPS_MIN
+                and N_EVENTS / min(times[level]) < floor
             )
 
         for _ in range(EXTRA_REPEAT):
-            if _stable(times[lo]) and _stable(times[hi]) and not _contaminated():
+            need_lo = not _stable(times[lo]) or _contaminated(lo, EXPECTED_N_EPS_MIN)
+            need_hi = not _stable(times[hi]) or _contaminated(hi, EXPECTED_4N_EPS_MIN)
+            if not (need_lo or need_hi):
                 break
             if time.monotonic() - _t_bench0 > TIME_BUDGET_SEC:
                 break
-            times[lo].append(_apply_run(f"local[{lo}]", changelog))
-            times[hi].append(_apply_run(f"local[{hi}]", changelog))
+            # resample only the level(s) that need it — a contaminated 4N
+            # retry is ~4x cheaper than a full pair
+            if need_lo:
+                times[lo].append(_apply_run(f"local[{lo}]", changelog))
+            if need_hi:
+                times[hi].append(_apply_run(f"local[{hi}]", changelog))
         tn, t4n = min(times[lo]), min(times[hi])
         # peak = best observed throughput at ANY level (a single contended
         # local[CPUS] sample must not print a "peak" slower than 4N)
@@ -210,6 +225,12 @@ def main() -> None:
             "events_per_sec_peak": round(N_EVENTS / t_peak, 1),
             # N -> 4N scaling proxy: perfect scaling would give t4n = tn/4
             "scaling_efficiency": round(tn / (4 * t4n), 3),
+            # per-level validity vs known-quiet floors: a false flag means
+            # that level's minimum is still contention-degraded after the
+            # sampling budget (slow N INFLATES the ratio, slow 4N deflates
+            # it) — read the efficiency accordingly
+            "n_level_quiet": N_EVENTS / tn >= EXPECTED_N_EPS_MIN,
+            "4n_level_quiet": N_EVENTS / t4n >= EXPECTED_4N_EPS_MIN,
             "scaling_note": (
                 f"pair local[{lo}]->local[{hi}] on identical input/partitioning: "
                 "both levels sit below this single VM's hyperthread boundary and "

@@ -375,3 +375,47 @@ def d_simhash_neardup(spark, sf_dir):
         )
         .filter(F.col("hamming") <= 2)
     )
+
+
+@_qx(
+    "x_incremental_dedup",
+    f"""
+    WITH ex AS (SELECT DISTINCT {PHASH_SQL.format(x="lower(trim(text))")} AS h
+                FROM documents WHERE doc_id < 250),
+    inc AS (SELECT doc_id, {PHASH_SQL.format(x="lower(trim(text))")} AS h
+            FROM documents WHERE doc_id >= 250),
+    kept AS (SELECT inc.doc_id FROM inc
+             WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = inc.h))
+    SELECT CAST((SELECT COUNT(*) FROM inc) AS BIGINT) AS n_incoming,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST((SELECT COUNT(*) FROM inc) - COUNT(*) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(MIN(doc_id), -1) AS BIGINT) AS first_kept
+    FROM kept
+    """,
+)
+def x_incremental_dedup(spark, sf_dir):
+    """Cross-corpus incremental dedup — the shape a streaming ingest actually
+    runs: drop incoming docs whose normalized content hash already exists in
+    the ingested corpus (LEFT ANTI join on the hash). The existing-corpus
+    side reduces to DISTINCT hashes first, so at 100TB the anti-join probes
+    a hash set (or a broadcast bloom of it), never the corpus rows. Demo
+    split: docs 0-249 = existing corpus, 250+ = incoming batch."""
+    d = load(spark, sf_dir, "documents")
+    h = phash(F.lower(F.trim("text")))
+    ex = d.filter("doc_id < 250").select(h.alias("h")).distinct()
+    inc = d.filter("doc_id >= 250").select("doc_id", h.alias("h"))
+    kept = inc.join(ex, "h", "left_anti")
+    n_inc = inc.agg(F.count("*").alias("n_incoming"))
+    return (
+        kept.agg(
+            F.count("*").alias("n_kept"),
+            F.coalesce(F.min("doc_id"), F.lit(-1)).cast("long").alias("first_kept"),
+        )
+        .crossJoin(F.broadcast(n_inc))
+        .select(
+            "n_incoming",
+            "n_kept",
+            (F.col("n_incoming") - F.col("n_kept")).alias("n_dropped"),
+            "first_kept",
+        )
+    )

@@ -26,6 +26,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _roundtrip_cache_tag(sf_dir: str, table: str) -> str:
+    """Cache key for the S2/S3/S6 round-trip materializations under /tmp:
+    includes the SOURCE parquet's (mtime_ns, size), so regenerating testdata
+    in place invalidates the cache instead of serving stale rows."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        sig = src  # multi-file/dir layouts: fall back to path-only keying
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 def dec_sum(col, alias: str):
     """Exact sum: decimal accumulate, double out."""
     return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
@@ -856,12 +872,11 @@ def st_tumbling_daily(spark, sf_dir):
 def s2_json_lines_source(spark, sf_dir):
     """JSON source (S2): serialize a slice to JSON-lines, read it back with an
     explicit schema, aggregate — proves the JSON reader path end-to-end."""
-    import hashlib
     import os
     import tempfile
 
     e = load(spark, sf_dir, "events").filter("event_id % 10 = 0")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _roundtrip_cache_tag(sf_dir, "events")
     path = os.path.join(tempfile.gettempdir(), f"rds_jsonsrc_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         e.selectExpr("event_id", "event_type", "value").write.mode("overwrite").json(path)
@@ -883,13 +898,12 @@ def s2_json_lines_source(spark, sf_dir):
 def s3_csv_source(spark, sf_dir):
     """CSV source (S3): round-trip supplier through CSV with an explicit
     schema (header on, no inference in prod), then join+agg."""
-    import hashlib
     import os
     import tempfile
 
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _roundtrip_cache_tag(sf_dir, "supplier")
     path = os.path.join(tempfile.gettempdir(), f"rds_csvsrc_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").write.mode(
@@ -1061,14 +1075,13 @@ def udf_grouped_map(spark, sf_dir):
 def s6_parquet_export(spark, sf_dir):
     """Export pipeline (S6, the reference's Cloud SQL -> BigQuery export):
     per-table export query -> columnar files -> reload -> aggregate."""
-    import hashlib
     import os
     import tempfile
 
     o = load(spark, sf_dir, "orders").filter("o_totalprice > 100000").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _roundtrip_cache_tag(sf_dir, "orders")
     path = os.path.join(tempfile.gettempdir(), f"rds_pqexport_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         o.write.mode("overwrite").parquet(path)

@@ -379,3 +379,55 @@ def x_subword_bpe(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
     return d.select("doc_id", n_subword_udf("text").alias("n_subword"))
+
+
+@_qx(
+    "x_tfidf_topterms",
+    """
+    WITH docw AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+')) AS word
+                  FROM documents),
+    w AS (SELECT doc_id, word, COUNT(*) AS tf FROM docw WHERE word <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM w GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (SELECT doc_id, word, tf,
+                      CAST(tf AS DOUBLE) * n / df AS score
+               FROM w JOIN dfreq USING (word) CROSS JOIN nd)
+    SELECT doc_id, word, tf, score
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, word) rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def x_tfidf_topterms(spark, sf_dir):
+    """Term-importance scoring: top-3 terms per doc by tf x (N/df) — the
+    TF-IDF shape with a RATIONAL idf (tf*N/df is one IEEE division of exact
+    integers, bit-portable between engines; ln() is libm-dependent and is
+    deliberately avoided in an oracle-hashed query). Two hash aggregations +
+    a broadcast of the tiny df table — at corpus scale df fits the same
+    hot-list reasoning as the dedup DF cap."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = F.split(F.lower("text"), "[ \\t\\n\\r\\f]+")
+    docw = d.select("doc_id", F.explode(words).alias("word")).filter(
+        F.col("word") != ""
+    )
+    w = docw.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = w.groupBy("word").agg(F.count("*").alias("df"))
+    nd = load(spark, sf_dir, "documents").select(
+        F.countDistinct("doc_id").alias("n")
+    )
+    scored = (
+        w.join(dfreq, "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n") / F.col("df"))
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter("rn <= 3")
+        .select("doc_id", "word", "tf", "score")
+    )
