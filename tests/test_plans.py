@@ -139,3 +139,24 @@ def test_subword_bpe_is_arrow_not_row_python(spark):
     plan = plan_string(df)
     assert "ArrowEvalPython" in plan, plan
     assert_no_row_python(df)
+
+
+def test_df_cap_hot_list_is_broadcast_anti_join(spark):
+    """The hot-shingle cap must remove hot shingles with a BROADCAST left
+    anti join (the hot list is provably tiny) — if it ever degrades to a
+    shuffled join, the corpus-side rows pay a full exchange just for the cap."""
+    from recidiviz_data_spark.operators.dedup import _shingles_capped
+
+    df = _shingles_capped(spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert_no_row_python(df)
+
+
+def test_tfidf_df_join_broadcasts_count_side(spark):
+    """x_tfidf_topterms: the single-row N aggregate must broadcast."""
+    from recidiviz_data_spark.operators.textops import x_tfidf_topterms
+
+    df = x_tfidf_topterms(spark, SF)
+    assert_broadcast_join(df)
+    assert_no_row_python(df)

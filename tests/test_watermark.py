@@ -164,3 +164,54 @@ def test_watermarked_stream_matches_batch_tumbling(spark, tmp_path):
     assert set(emitted) | {
         k for k, v in expected.items() if v[2] > wm3 - timedelta(hours=1)
     } >= set(expected)
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup: dropDuplicatesWithinWatermark keeps ONE row per key
+    among events whose event times fall within the watermark delay of each
+    other, and cannot re-emit a key once its state is evicted — the
+    streaming analog of the exact-dedup operator."""
+    src = str(tmp_path / "stream")
+    t0 = 1_700_000_000
+    # b1: k1 twice (dup within delay) + k2 once
+    _write(src, "b1.parquet", [(1, BASE + 10, 1.0), (1, BASE + 20, 1.0),
+                               (2, BASE + 30, 1.0)], t0)
+    # b2: watermark jumps 5h ahead -> k1/k2 state becomes evictable
+    _write(src, "b2.parquet", [(3, BASE + 5 * US_HOUR, 1.0)], t0 + 10)
+    # b2b: one more batch — the watermark (max event time - delay = +3h)
+    # only becomes effective in the batch AFTER the advancing event, and
+    # in-batch dedup runs BEFORE end-of-batch eviction, so k1's state is
+    # truly gone only after this batch commits
+    _write(src, "b2b.parquet", [(4, BASE + 5 * US_HOUR + 10, 1.0)], t0 + 15)
+    # b3: k1 again AFTER its state expired -> re-emitted once more (dedup
+    # window is the watermark delay, not forever); a dup of k3 in the same
+    # batch still collapses
+    _write(src, "b3.parquet", [(1, BASE + 5 * US_HOUR + 40, 1.0),
+                               (3, BASE + 5 * US_HOUR + 50, 1.0)], t0 + 20)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dedup = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddw_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("ddw_out").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r["ts"])
+    # k1: once in the first window + once after state eviction = 2 emissions;
+    # k2 and k3 exactly once each despite k3's same-batch duplicate
+    assert len(by_key.get(1, [])) == 2, by_key
+    assert len(by_key.get(2, [])) == 1, by_key
+    assert len(by_key.get(3, [])) == 1, by_key
