@@ -1,0 +1,193 @@
+"""Training-data pipeline assembly ops over ``documents``: token-budget
+shard packing, deterministic stratified sampling, and context-window
+chunking — the steps between a cleaned corpus and a training run.
+
+All are pytest-only EXTRA queries (the driver registry is capped at 50)
+with exact DuckDB oracles, and all are built on the distributed shapes that
+survive 100 TB: the shard packer's global running sum is a TWO-PHASE scan
+(per-bucket windows in parallel + a tiny bucket-offset table broadcast
+back), never a single-partition global window; sampling is a pure hash
+filter; chunking is a stride explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recidiviz_data_spark.operators.base import _qx
+from recidiviz_data_spark.operators.relational import load
+from recidiviz_data_spark.operators.textops import PHASH_SQL, phash
+
+SHARD_BUDGET_CHARS = 16384  # pack shards to ~16 KiB of text
+PACK_BUCKET = 100  # docs per cumsum bucket (the parallel unit of phase 1)
+
+# deterministic per-language sampling rates (percent)
+SAMPLE_PCT = {"en": 50, "fr": 25, "de": 25, "es": 10}
+
+CHUNK_LEN = 50  # words per chunk
+CHUNK_STRIDE = 40  # 10-word overlap
+
+
+@_qx(
+    "x_token_shard_packing",
+    f"""
+    WITH d AS (SELECT doc_id, n_chars, doc_id // {PACK_BUCKET} AS b FROM documents),
+    wb AS (SELECT doc_id, n_chars, b,
+                  SUM(n_chars) OVER (PARTITION BY b ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_in_b
+           FROM d),
+    bsum AS (SELECT b, SUM(n_chars) AS tot FROM d GROUP BY b),
+    boff AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             FROM bsum),
+    g AS (SELECT wb.doc_id, wb.n_chars, boff.off + wb.cum_in_b AS gcum
+          FROM wb JOIN boff USING (b)),
+    assigned AS (SELECT doc_id, n_chars,
+                        (gcum - n_chars) // {SHARD_BUDGET_CHARS} AS shard_id
+                 FROM g)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM assigned GROUP BY 1
+    """,
+)
+def x_token_shard_packing(spark, sf_dir):
+    """Pack documents into ~budget-sized output shards by running size —
+    the write-side step of a training pipeline (each shard becomes one
+    training file). Each doc is assigned by the shard its STARTING offset
+    falls in, so assignment is a pure function of the global running sum.
+
+    The running sum is computed in TWO phases so no stage ever sees a
+    global single-partition window: phase 1 windows WITHIN doc_id buckets
+    (all buckets in parallel); phase 2 prefix-sums the tiny per-bucket
+    totals (rows = n_docs / PACK_BUCKET) and broadcasts the offsets back.
+    At 100 TB the offset table is still only ~10^6 rows of two longs."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        # floor, not cast: Spark cast(double AS long) truncates toward zero,
+        # DuckDB // floors — identical only because doc_id >= 0; floor keeps
+        # them identical unconditionally
+        F.floor(F.col("doc_id") / PACK_BUCKET).cast("long").alias("b"),
+    )
+    w_in = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = d.withColumn("cum_in_b", F.sum("n_chars").over(w_in))
+    bsum = d.groupBy("b").agg(F.sum("n_chars").alias("tot"))
+    # the per-bucket table is tiny — its global window is O(buckets), and
+    # the result broadcasts back to the doc-level stream
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select(
+        "b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    g = wb.join(F.broadcast(boff), "b").withColumn(
+        "gcum", F.col("off") + F.col("cum_in_b")
+    )
+    assigned = g.withColumn(
+        "shard_id",
+        F.floor((F.col("gcum") - F.col("n_chars")) / SHARD_BUDGET_CHARS),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_SAMPLE_CASE = " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_PCT.items()
+)
+
+
+@_qx(
+    "x_stratified_sample",
+    f"""
+    WITH d AS (SELECT lang,
+                      {PHASH_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS h
+               FROM documents),
+    rates AS (SELECT lang, h,
+                     CASE {_SAMPLE_CASE} ELSE 0 END AS pct
+              FROM d)
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN h < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN h < pct THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS ratio
+    FROM rates GROUP BY lang
+    """,
+)
+def x_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (the reproducible analog of
+    ``sampleBy``): keep a doc iff hash(doc_id) mod 100 falls under its
+    language's percentage. A pure per-row filter — no shuffle, no RNG
+    state, and the SAME sample on every run and every engine, which is
+    what a training-data pipeline actually wants from its sampler."""
+    d = load(spark, sf_dir, "documents")
+    h = F.pmod(phash(F.col("doc_id").cast("string")), F.lit(100))
+    # first-match-wins CASE, same order as the oracle's
+    pct = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in SAMPLE_PCT.items()],
+        F.lit(0),
+    )
+    keep = (h < pct).cast("int")
+    return d.select("lang", keep.alias("k")).groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum("k").alias("n_sampled"),
+        (F.sum("k").cast("double") / F.count("*")).alias("ratio"),
+    )
+
+
+@_qx(
+    "x_doc_chunking",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+') AS ws
+               FROM documents),
+    nz AS (SELECT doc_id, list_filter(ws, x -> x <> '') AS ws FROM w),
+    starts AS (SELECT doc_id, ws, len(ws) AS n, i
+               FROM nz, UNNEST(generate_series(1, greatest(len(ws), 1), {CHUNK_STRIDE})) t(i)
+               WHERE len(ws) > 0),
+    chunks AS (SELECT doc_id, (i - 1) // {CHUNK_STRIDE} AS chunk_idx, i AS start_word,
+                      least({CHUNK_LEN}, n - i + 1) AS chunk_words,
+                      {PHASH_SQL.format(x=f"array_to_string(ws[i:i+{CHUNK_LEN - 1}], ' ')")} AS chunk_hash
+               FROM starts)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_word AS BIGINT) AS start_word,
+           CAST(chunk_words AS BIGINT) AS chunk_words, chunk_hash
+    FROM chunks
+    """,
+)
+def x_doc_chunking(spark, sf_dir):
+    """Context-window chunking: split each document into CHUNK_LEN-word
+    windows advancing by CHUNK_STRIDE (overlap = LEN - STRIDE), the step
+    that turns documents into model-context-sized training rows. Shape:
+    stride sequence + posexplode + slice — one output row per chunk, no
+    Python. chunk_hash fingerprints the exact chunk text cross-engine."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ws = F.filter(
+        F.split(F.lower("text"), "[ \\t\\n\\r\\f]+"), lambda x: x != ""
+    )
+    base = d.select("doc_id", ws.alias("ws")).withColumn("n", F.size("ws")).filter(
+        "n > 0"
+    )
+    starts = base.select(
+        "doc_id", "ws", "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest("n", F.lit(1)), F.lit(CHUNK_STRIDE))
+        ).alias("i"),
+    )
+    chunk = F.slice("ws", F.col("i"), F.lit(CHUNK_LEN))
+    return starts.select(
+        "doc_id",
+        F.floor((F.col("i") - 1) / CHUNK_STRIDE).alias("chunk_idx"),
+        F.col("i").cast("long").alias("start_word"),
+        F.least(F.lit(CHUNK_LEN), F.col("n") - F.col("i") + 1)
+        .cast("long")
+        .alias("chunk_words"),
+        phash(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
