@@ -147,3 +147,66 @@ def x_mm_resize(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+ENERGY_SCHEMA = "doc_id bigint, window_idx bigint, n_samples bigint, energy bigint"
+ENERGY_WINDOW = 256
+
+
+def _audio_energy_batches(it):
+    """Windowed sum-of-squares over a per-doc sample stream — the exact
+    batch shape of an audio frame-energy / VAD feature extractor. The
+    'samples' are the text's code points (utf-32-le reinterpretation gives
+    them as a numpy vector directly), standing in for PCM samples the
+    container's missing audio libs would decode; the windowing, vectorized
+    energy math, and per-window row explode are the real thing."""
+    import numpy as np
+
+    for pdf in it:
+        out_doc, out_wi, out_n, out_e = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if not text:
+                continue
+            cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            for wi in range(0, len(cps), ENERGY_WINDOW):
+                w = cps[wi : wi + ENERGY_WINDOW]
+                out_doc.append(doc_id)
+                out_wi.append(wi // ENERGY_WINDOW)
+                out_n.append(len(w))
+                out_e.append(int((w * w).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "window_idx": pd.Series(out_wi, dtype="int64"),
+                "n_samples": pd.Series(out_n, dtype="int64"),
+                "energy": pd.Series(out_e, dtype="int64"),
+            }
+        )
+
+
+@_qx(
+    "x_mm_audio_energy",
+    f"""
+    WITH cps AS (SELECT doc_id, (i - 1) // {ENERGY_WINDOW} AS window_idx,
+                        ascii(substr(text, i, 1)) AS cp
+                 FROM documents, UNNEST(generate_series(1, length(text))) t(i)
+                 WHERE length(text) > 0)
+    SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
+           COUNT(*) AS n_samples,
+           CAST(SUM(CAST(cp AS BIGINT) * cp) AS BIGINT) AS energy
+    FROM cps GROUP BY 1, 2
+    """,
+)
+def x_mm_audio_energy(spark, sf_dir):
+    """Audio-column plumbing: per-window energy (sum of squared samples)
+    over each doc's sample stream via Arrow-batched mapInPandas — the
+    feature-extraction stage of an audio pipeline (VAD, loudness
+    normalization, silence trimming all start here). Samples are code
+    points standing in for PCM (no audio libs in this container); windowing
+    and the vectorized numpy energy math are real and oracle-exact."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.mapInPandas(_audio_energy_batches, schema=ENERGY_SCHEMA)
