@@ -20,6 +20,10 @@ DB transaction — SURVEY.md §3.1):
   num_buckets)`` bucket recorded in the manifest; MERGE reads only the buckets
   a batch touches (Iceberg partition-pruned copy-on-write, re-expressed).
 - **Lineage**: per-commit metrics rows under ``meta/lineage/``.
+- **Key-range file skipping**: every file entry records the key column's
+  footer min/max (free — the footer is already read at stage time);
+  ``read_keys`` prunes a point lookup to the key's hash bucket(s) AND to
+  the files whose range can contain it (Iceberg data-skipping re-expressed).
 
 Orphan data files (written but never committed — e.g. a crash between the
 staging write and the manifest link) are invisible: the manifest is the sole
@@ -333,9 +337,14 @@ class Miniberg:
         (null-fill added columns, widen-cast old physical types). Default
         reads hide internal columns AND filter tombstone rows."""
         m = self.manifest(version)
+        files = self.files(buckets=buckets, manifest=m)
+        return self._read_files(spark, m, files, include_internal=include_internal)
+
+    def _read_files(
+        self, spark: SparkSession, m: dict, files: list[dict], *, include_internal: bool
+    ) -> DataFrame:
         full = self._schema_struct(m, m["schema_id"], include_internal=True)
         user = self._schema_struct(m, m["schema_id"], include_internal=False)
-        files = self.files(buckets=buckets, manifest=m)
         if not files:
             return spark.createDataFrame([], full if include_internal else user)
         by_schema: dict[int, list[str]] = {}
@@ -355,6 +364,53 @@ class Miniberg:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return out.select([f.name for f in user.fields])
 
+    # --------------------------------------------------- point-lookup path
+    @staticmethod
+    def files_for_keys(files: list[dict], keys: list) -> list[dict]:
+        """Data skipping: drop files whose footer key-range (recorded at
+        write time in the manifest entry) cannot contain ANY of the keys.
+        Files without recorded stats are conservatively kept."""
+        def may_contain(f: dict) -> bool:
+            if "key_min" not in f:
+                return True
+            return any(f["key_min"] <= k <= f["key_max"] for k in keys)
+
+        return [f for f in files if may_contain(f)]
+
+    def read_keys(
+        self,
+        spark: SparkSession,
+        keys: list,
+        version: int | None = None,
+        *,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Point/multi-key lookup with two-stage FILE skipping: hash the
+        keys to their buckets (reads only those buckets' sidecars), then
+        drop files whose key-range stats exclude every key, then filter
+        exactly. At lake scale a point lookup touches one bucket's sidecar
+        and, on a batch-appended table, only the files whose key range
+        covers the key — not the bucket's whole history."""
+        if not keys:
+            raise ValueError("read_keys requires at least one key")
+        m = self.manifest(version)
+        key_col = m["key_col"]
+        key_field = [
+            f for f in self._schema_struct(m, m["schema_id"]).fields if f.name == key_col
+        ][0]
+        kdf = spark.createDataFrame([(k,) for k in keys], T.StructType([key_field]))
+        buckets = sorted(
+            r[0]
+            for r in kdf.select(
+                F.pmod(F.xxhash64(key_col), F.lit(m["num_buckets"])).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        files = self.files_for_keys(self.files(buckets=buckets, manifest=m), keys)
+        out = self._read_files(spark, m, files, include_internal=include_internal)
+        return out.filter(F.col(key_col).isin(keys))
+
     def data_files(self, version: int | None = None, buckets: list[int] | None = None) -> list[str]:
         fs = self.files(version, buckets=buckets)
         return [os.path.join(self.root, f["path"]) for f in fs]
@@ -366,7 +422,10 @@ class Miniberg:
 
     def collect_staged_files(self, staging_dir: str, schema_id: int) -> list[dict]:
         """Move ``staging/_bucket=N/part-*.parquet`` into data/, return file
-        entries (bucket parsed from the partition dir, rows from the footer)."""
+        entries (bucket parsed from the partition dir, rows + key-range
+        stats from the footer already being read — no extra I/O)."""
+        m = self.manifest()
+        key_col = m.get("key_col", "doc_id")
         entries = []
         for path in sorted(glob.glob(os.path.join(staging_dir, "_bucket=*", "*.parquet"))):
             bucket = int(os.path.basename(os.path.dirname(path)).split("=")[1])
@@ -374,15 +433,17 @@ class Miniberg:
             name = f"{uuid.uuid4().hex}-b{bucket:05d}.parquet"
             dest_rel = os.path.join("data", name)
             os.rename(path, os.path.join(self.root, dest_rel))
-            entries.append(
-                {
-                    "path": dest_rel,
-                    "bucket": bucket,
-                    "rows": meta.num_rows,
-                    "bytes": os.path.getsize(os.path.join(self.root, dest_rel)),
-                    "schema_id": schema_id,
-                }
-            )
+            entry = {
+                "path": dest_rel,
+                "bucket": bucket,
+                "rows": meta.num_rows,
+                "bytes": os.path.getsize(os.path.join(self.root, dest_rel)),
+                "schema_id": schema_id,
+            }
+            kmin, kmax = _footer_key_range(meta, key_col)
+            if kmin is not None:
+                entry["key_min"], entry["key_max"] = kmin, kmax
+            entries.append(entry)
         shutil.rmtree(staging_dir, ignore_errors=True)
         return entries
 
@@ -526,6 +587,36 @@ class Miniberg:
             if not young:
                 shutil.rmtree(d, ignore_errors=True)
         return removed
+
+
+def _footer_key_range(meta, key_col: str):
+    """(min, max) of ``key_col`` across a parquet file's row groups, from
+    the footer statistics alone. Returns (None, None) when stats are absent
+    or the column is missing — file skipping then conservatively keeps the
+    file. Only str/int keys are recorded (JSON-portable, total-ordered)."""
+    idx = None
+    for i in range(meta.num_columns if meta.num_row_groups else 0):
+        if meta.row_group(0).column(i).path_in_schema == key_col:
+            idx = i
+            break
+    if idx is None:
+        return None, None
+    kmin = kmax = None
+    for g in range(meta.num_row_groups):
+        st = meta.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        mn, mx = st.min, st.max
+        if isinstance(mn, bytes):
+            try:
+                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            except UnicodeDecodeError:
+                return None, None
+        if not isinstance(mn, (str, int)):
+            return None, None
+        kmin = mn if kmin is None else min(kmin, mn)
+        kmax = mx if kmax is None else max(kmax, mx)
+    return kmin, kmax
 
 
 def _type_from_json(j) -> T.DataType:

@@ -199,3 +199,50 @@ def test_unchanged_buckets_reuse_sidecars(spark, tmp_path):
     assert len(untouched) == len(m1["buckets"]) - 1
     for bk in untouched:
         assert m2["buckets"][bk]["path"] == m1["buckets"][bk]["path"]
+
+
+def test_point_lookup_skips_files_by_key_range(spark, tmp_path):
+    """Manifest key-range stats (footer min/max recorded at write time)
+    must let a point lookup skip files that cannot contain the key, and
+    the pruned read must equal the full-scan filter."""
+    from tests.test_tombstones import write_batch
+
+    cl = str(tmp_path / "cl")
+    # two disjoint doc_id ranges arriving in separate batches -> each
+    # bucket holds one file per batch with a NARROW key range
+    write_batch(cl, 0, [{"seq": i, "op": "I", "doc": f"d{i:03d}", "tokens": [i]}
+                        for i in range(20)])
+    write_batch(cl, 1, [{"seq": 100 + i, "op": "I", "doc": f"d{100 + i:03d}", "tokens": [i]}
+                        for i in range(20)])
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=2)
+    # compact='auto' would merge the narrow files back together — keep them
+    apply_batches(spark, table, cl, compact=False)
+
+    files = table.files()
+    assert all("key_min" in f for f in files), files
+    # the lookup key lives only in batch 1's files
+    kept = Miniberg.files_for_keys(files, ["d105"])
+    assert kept and all(f["key_min"] >= "d100" for f in kept), kept
+    assert len(kept) < len(files), (len(kept), len(files))
+
+    got = table.read_keys(spark, ["d105"]).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == "d105"
+    # pruned result == unpruned filter, including multi-key across batches
+    want = {r["doc_id"] for r in table.read(spark).filter(
+        "doc_id IN ('d003', 'd105', 'nope')").collect()}
+    got2 = {r["doc_id"] for r in table.read_keys(spark, ["d003", "d105", "nope"]).collect()}
+    assert got2 == want == {"d003", "d105"}
+
+
+def test_point_lookup_sees_tombstones_only_when_internal(spark, tmp_path):
+    from tests.test_tombstones import write_batch
+
+    cl = str(tmp_path / "cl")
+    write_batch(cl, 0, [{"seq": 1, "op": "I", "doc": "a", "tokens": [1]},
+                        {"seq": 2, "op": "I", "doc": "b", "tokens": [2]}])
+    write_batch(cl, 1, [{"seq": 10, "op": "D", "doc": "a"}])
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=2)
+    apply_batches(spark, table, cl)
+    assert table.read_keys(spark, ["a"]).count() == 0  # tombstoned
+    internal = table.read_keys(spark, ["a"], include_internal=True).collect()
+    assert len(internal) == 1 and internal[0]["_deleted"] is True
