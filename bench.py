@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "d_simhash_banded",
     "e_ann_topk",
     "st_tumbling_daily",
+    # round-3 training-pipeline ops (EXTRA registry; bench resolves both)
+    "x_subword_bpe",
+    "x_token_shard_packing",
 ]
 
 
@@ -260,7 +263,7 @@ def main() -> None:
             if qpass > 0 and time.monotonic() - t_q0 > QUERY_TIME_BUDGET_SEC:
                 break  # every query already has >=1 sample from pass 0
             for name in BENCH_QUERIES:
-                fn = registry.QUERIES[name]
+                fn = registry.QUERIES.get(name) or registry.EXTRA_QUERIES[name]
                 t0 = time.monotonic()
                 fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
                 dt = time.monotonic() - t0
