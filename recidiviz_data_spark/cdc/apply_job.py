@@ -6,7 +6,8 @@ Usage:
     spark-submit [--master local[N]] --py-files engine.zip \
         apply_job.py --changelog DIR --table DIR \
         [--num-buckets 64] [--upto N] [--dedup agg|window|salted_window] \
-        [--bootstrap PARQUET]
+        [--bootstrap PARQUET] [--split-buckets-factor K] [--compact-after] \
+        [--expire-keep-last K] [--gc]
 
 Creates the table on first run (schema inferred from the first pending batch's
 payload, or bootstrapped from an initial parquet snapshot); resumes from the
@@ -35,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--max-invalid-ratio", type=float, default=None,
                    help="abort a batch whose invalid-event ratio exceeds this")
+    p.add_argument("--split-buckets-factor", type=int, default=None,
+                   help="re-bucket the table N -> factor*N after applying "
+                        "(shuffle-free map-only rewrite; the growth path)")
     p.add_argument("--compact-after", action="store_true",
                    help="run bucket compaction after applying")
     p.add_argument("--expire-keep-last", type=int, default=None,
@@ -92,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
     wall = time.monotonic() - t0
 
     maintenance: dict = {}
+    if args.split_buckets_factor:
+        from recidiviz_data_spark.tables.maintenance import split_buckets
+
+        maintenance["split_version"] = split_buckets(
+            spark, table, factor=args.split_buckets_factor
+        )
+        maintenance["num_buckets"] = table.manifest()["num_buckets"]
     if args.compact_after:
         from recidiviz_data_spark.tables.maintenance import compact
 
