@@ -281,36 +281,41 @@ _BPE_MERGES_VALUES = ", ".join(
 )
 
 # The oracle runs the SAME merge table through a recursive CTE: token
-# boundaries are '|' separators; each step applies the best-ranked (lowest
-# rank) merge present, at its LEFTMOST occurrence, one at a time. For a
-# consistent table (parts exist before use) this is equivalent to classic
-# BPE's merge-all-occurrences loop, and the Python encoder below implements
-# the identical one-at-a-time rule so equality is structural, not lucky.
+# boundaries are ASCII unit-separator (chr 31) characters — a control char,
+# reserved by stripping it from the text in BOTH engines first (a printable
+# separator like '|' would collide with corpus text and miscount); each
+# step applies the best-ranked (lowest rank) merge present, at its LEFTMOST
+# occurrence, one at a time. For a consistent table (parts exist before
+# use) this is equivalent to classic BPE's merge-all-occurrences loop, and
+# the Python encoder below implements the identical one-at-a-time rule so
+# equality is structural, not lucky.
 _BPE_SQL = f"""
     merges(rank, x, y) AS (VALUES {_BPE_MERGES_VALUES}),
-    docw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+')) AS word
+    docw AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(
+                        replace(lower(text), chr(31), ''), '[ \\t\\n\\r\\f]+')) AS word
              FROM documents),
     words AS (SELECT DISTINCT word FROM docw WHERE word <> ''),
     enc(word, state) AS (
-      SELECT word, '|' || array_to_string(
+      SELECT word, chr(31) || array_to_string(
                list_transform(generate_series(1, length(word)),
-                              i -> substr(word, i, 1)), '|') || '|'
+                              i -> substr(word, i, 1)), chr(31)) || chr(31)
       FROM words
       UNION ALL
       SELECT e.word,
-             substr(e.state, 1, position(('|' || m.x || '|' || m.y || '|') IN e.state) - 1)
-             || '|' || m.x || m.y ||
-             substr(e.state, position(('|' || m.x || '|' || m.y || '|') IN e.state)
+             substr(e.state, 1, position((chr(31) || m.x || chr(31) || m.y || chr(31)) IN e.state) - 1)
+             || chr(31) || m.x || m.y ||
+             substr(e.state, position((chr(31) || m.x || chr(31) || m.y || chr(31)) IN e.state)
                               + length(m.x) + length(m.y) + 2)
       FROM enc e JOIN merges m
-        ON position(('|' || m.x || '|' || m.y || '|') IN e.state) > 0
+        ON position((chr(31) || m.x || chr(31) || m.y || chr(31)) IN e.state) > 0
       WHERE NOT EXISTS (SELECT 1 FROM merges m2 WHERE m2.rank < m.rank
-                        AND position(('|' || m2.x || '|' || m2.y || '|') IN e.state) > 0)
+                        AND position((chr(31) || m2.x || chr(31) || m2.y || chr(31)) IN e.state) > 0)
     ),
     final AS (SELECT word, state FROM enc e
               WHERE NOT EXISTS (SELECT 1 FROM merges m
-                                WHERE position('|'||m.x||'|'||m.y||'|' IN e.state) > 0)),
-    wc AS (SELECT word, length(state) - length(replace(state, '|', '')) - 1 AS n_tok
+                                WHERE position(chr(31)||m.x||chr(31)||m.y||chr(31) IN e.state) > 0)),
+    wc AS (SELECT word, length(state) - length(replace(state, chr(31), '')) - 1 AS n_tok
            FROM final),
     per_doc AS (SELECT d.doc_id, SUM(wc.n_tok) AS n
                 FROM docw d JOIN wc USING (word) GROUP BY d.doc_id)
@@ -371,7 +376,13 @@ def x_subword_bpe(spark, sf_dir):
         def doc_count(text) -> int:
             if text is None:
                 return 0
-            return sum(word_count(w) for w in ws.split(text.lower()) if w)
+            # chr(31) is the oracle's reserved token-boundary char — strip
+            # it identically on both sides (it is corpus junk anyway)
+            return sum(
+                word_count(w)
+                for w in ws.split(text.lower().replace("\x1f", ""))
+                if w
+            )
 
         return texts.map(doc_count).astype("int64")
 

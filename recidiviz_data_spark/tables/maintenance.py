@@ -92,42 +92,31 @@ def expire_snapshots(
     # have left gaps). keep_last=0 must mean "current only" — a bare
     # versions[-0:] slice would return EVERYTHING and expire nothing
     survivors = versions[-keep_last:] if keep_last > 0 else versions[-1:]
-    keep_files = set()
-    keep_sidecars = set()
-    for v in survivors:
-        m = table.manifest(v)
-        for s in m.get("buckets", {}).values():
-            keep_sidecars.add(os.path.join(table.root, s["path"]))
-        for f in table.files(manifest=m):
-            keep_files.add(os.path.join(table.root, f["path"]))
+    from recidiviz_data_spark.tables.miniberg import (
+        collect_references,
+        gc_unreferenced,
+    )
+
+    keep_files, keep_sidecars = collect_references(table, survivors)
 
     removed: list[str] = []
     for v in versions:
         if v in survivors:
             continue
         p = table._vpath(v)
-        os.unlink(p)
-        removed.append(p)
+        try:
+            os.unlink(p)
+            removed.append(p)
+        except FileNotFoundError:
+            continue  # a concurrent expiry got there first
     now = _time.time()
-    for p in glob.glob(os.path.join(table.data_dir, "*.parquet")):
-        if p in keep_files:
-            continue
-        try:
-            if now - os.path.getmtime(p) >= grace_seconds:
-                os.unlink(p)
-                removed.append(p)
-        except OSError:
-            continue  # a concurrent GC/compactor got there first
+    removed += gc_unreferenced(
+        os.path.join(table.data_dir, "*.parquet"), keep_files, grace_seconds, now
+    )
     # sidecars pinned only by expired snapshots go with them (same grace)
-    for p in glob.glob(os.path.join(table.fm_dir, "*.json")):
-        if p in keep_sidecars:
-            continue
-        try:
-            if now - os.path.getmtime(p) >= grace_seconds:
-                os.unlink(p)
-                removed.append(p)
-        except OSError:
-            continue
+    removed += gc_unreferenced(
+        os.path.join(table.fm_dir, "*.json"), keep_sidecars, grace_seconds, now
+    )
     return removed
 
 

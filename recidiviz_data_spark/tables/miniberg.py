@@ -218,6 +218,16 @@ class Miniberg:
                 pass  # same content-addressed sidecar already exists
             finally:
                 os.unlink(tmp)
+        else:
+            # refresh mtime: reusing an existing (possibly orphaned) sidecar
+            # must restart its GC grace window, or a concurrent gc_orphans
+            # could unlink it between this write and our manifest CAS
+            try:
+                os.utime(dest)
+            except OSError:
+                pass  # racing GC removed it — recreate
+            if not os.path.exists(dest):
+                return self._write_sidecar(entries)
         return rel
 
     def _load_sidecar(self, rel_path: str) -> list[dict]:
@@ -260,15 +270,19 @@ class Miniberg:
             out.extend(self._load_sidecar(s["path"]))
         return out
 
-    def _bucket_entries_migrated(self, m: dict) -> dict[str, dict]:
-        """Parent manifest's buckets as {bucket_str: summary-with-path}. A
-        legacy parent is migrated here: its inline list is grouped per bucket
-        and written out as sidecars ONCE (the first commit on top of a
-        single-level manifest upgrades the layout)."""
+    def _bucket_entries_migrated(self, m: dict, exclude: set[int]) -> dict[str, dict]:
+        """Parent manifest's buckets OUTSIDE ``exclude`` as {bucket_str:
+        summary-with-path}. A legacy parent is migrated here: its inline list
+        is grouped per bucket and written out as sidecars ONCE (the first
+        commit on top of a single-level manifest upgrades the layout);
+        excluded (replaced) buckets are never written — their sidecar would
+        be dead on arrival."""
         if "buckets" in m:
-            return dict(m["buckets"])
+            return {bk: s for bk, s in m["buckets"].items() if int(bk) not in exclude}
         grouped: dict[str, list[dict]] = {}
         for f in m.get("files", []):
+            if f["bucket"] in exclude:
+                continue
             grouped.setdefault(str(f["bucket"]), []).append(f)
         return {
             bk: {
@@ -476,10 +490,7 @@ class Miniberg:
         new["version"] = parent_v + 1
         new["parent"] = parent_v
         replaced = replaced_buckets or set()
-        parent_buckets = self._bucket_entries_migrated(m)
-        carried = {
-            bk: s for bk, s in parent_buckets.items() if int(bk) not in replaced
-        }
+        carried = self._bucket_entries_migrated(m, exclude=replaced)
         added_by_bucket: dict[str, list[dict]] = {}
         for f in added_files:
             added_by_bucket.setdefault(str(f["bucket"]), []).append(f)
@@ -549,36 +560,16 @@ class Miniberg:
         run alongside writers; pass 0 only when no writer can be in flight."""
         import time as _time
 
-        referenced = set()
-        referenced_sidecars = set()
-        for v in self.versions():
-            m = self.manifest(v)
-            for s in m.get("buckets", {}).values():
-                referenced_sidecars.add(os.path.join(self.root, s["path"]))
-            for f in self.files(manifest=m):
-                referenced.add(os.path.join(self.root, f["path"]))
+        referenced, referenced_sidecars = collect_references(self, self.versions())
         now = _time.time()
-        removed = []
-        for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
-            if p in referenced:
-                continue
-            try:
-                if now - os.path.getmtime(p) >= grace_seconds:
-                    os.unlink(p)
-                    removed.append(p)
-            except OSError:
-                continue  # a concurrent GC/compactor got there first
+        removed = gc_unreferenced(
+            os.path.join(self.data_dir, "*.parquet"), referenced, grace_seconds, now
+        )
         # orphaned sidecars (written by a commit whose CAS lost, or left by
         # expired snapshots) — same grace rule as data files
-        for p in glob.glob(os.path.join(self.fm_dir, "*.json")):
-            if p in referenced_sidecars:
-                continue
-            try:
-                if now - os.path.getmtime(p) >= grace_seconds:
-                    os.unlink(p)
-                    removed.append(p)
-            except OSError:
-                continue
+        removed += gc_unreferenced(
+            os.path.join(self.fm_dir, "*.json"), referenced_sidecars, grace_seconds, now
+        )
         for d in glob.glob(os.path.join(self.root, "tmp", "stage-*")):
             try:
                 young = now - os.path.getmtime(d) < grace_seconds
@@ -587,6 +578,47 @@ class Miniberg:
             if not young:
                 shutil.rmtree(d, ignore_errors=True)
         return removed
+
+
+def collect_references(table: "Miniberg", versions: list[int]) -> tuple[set, set]:
+    """(data-file paths, sidecar paths) referenced by ``versions``,
+    tolerating versions EXPIRED by a concurrent maintenance run (their
+    manifest/sidecars vanish mid-scan — nothing of theirs needs keeping).
+    A sidecar missing while its manifest still exists is real corruption
+    and raises: GC'ing with an incomplete keep-set could delete live data."""
+    keep_files: set = set()
+    keep_sidecars: set = set()
+    for v in versions:
+        try:
+            m = table.manifest(v)
+            for s in m.get("buckets", {}).values():
+                keep_sidecars.add(os.path.join(table.root, s["path"]))
+            for f in table.files(manifest=m):
+                keep_files.add(os.path.join(table.root, f["path"]))
+        except FileNotFoundError:
+            if os.path.exists(table._vpath(v)):
+                raise
+            continue  # version expired concurrently
+    return keep_files, keep_sidecars
+
+
+def gc_unreferenced(
+    pattern: str, keep: set, grace_seconds: float, now: float
+) -> list[str]:
+    """Unlink files matching ``pattern`` that are not in ``keep`` and are
+    older than the grace window — THE single glob+grace+unlink rule shared
+    by gc_orphans and expire_snapshots (OSError = a concurrent GC won)."""
+    removed: list[str] = []
+    for p in glob.glob(pattern):
+        if p in keep:
+            continue
+        try:
+            if now - os.path.getmtime(p) >= grace_seconds:
+                os.unlink(p)
+                removed.append(p)
+        except OSError:
+            continue
+    return removed
 
 
 def _footer_key_range(meta, key_col: str):

@@ -173,3 +173,39 @@ def test_gen_chunked_batch_files_share_schema(spark, tmp_path):
     table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=2)
     apply_batches(spark, table, d)
     assert table.read(spark).count() > 0
+
+
+def test_subword_bpe_separator_collision_safe(spark, tmp_path):
+    """Round-3 review: the BPE oracle's token-boundary char must not collide
+    with corpus text. Words containing '|' (the old separator) and chr(31)
+    (the reserved one, stripped in both engines) must count identically in
+    Spark and the DuckDB recursive-CTE oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recidiviz_data_spark.operators.textops import x_subword_bpe
+    from recidiviz_data_spark.operators.base import EXTRA_ORACLES
+    from recidiviz_data_spark.plans.contract_check import compare
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["a|b the|cat", "x\x1fy theater", "plain the and words"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([11, 10, 19], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    expected = con.execute(EXTRA_ORACLES["x_subword_bpe"]).df()
+    compare(x_subword_bpe(spark, sf), expected, name="x_subword_bpe_pipes")
+    con.close()
