@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -204,13 +205,33 @@ def main() -> None:
                 break
             if time.monotonic() - _t_bench0 > TIME_BUDGET_SEC:
                 break
-            # resample only the level(s) that need it — a contaminated 4N
-            # retry is ~4x cheaper than a full pair
-            if need_lo:
-                times[lo].append(_apply_run(f"local[{lo}]", changelog))
-            if need_hi:
-                times[hi].append(_apply_run(f"local[{hi}]", changelog))
+            # resample BOTH levels back-to-back whenever either needs it:
+            # the efficiency estimator below is the median of PAIRED ratios
+            # (adjacent lo/hi samples share host conditions, so common-mode
+            # contention cancels in the ratio) — single-level retries would
+            # leave pairs misaligned
+            times[lo].append(_apply_run(f"local[{lo}]", changelog))
+            times[hi].append(_apply_run(f"local[{hi}]", changelog))
         tn, t4n = min(times[lo]), min(times[hi])
+        # efficiency estimator: MEDIAN of paired per-round ratios. Each
+        # interleaved round measures lo and hi back-to-back, so a pair
+        # shares host conditions and common-mode contention cancels in the
+        # ratio; min(tn)/4*min(t4n) across INDEPENDENT samples, by
+        # contrast, pairs one level's lucky outlier with the other level's
+        # merely-typical sample (observed: a 52.1 s lo outlier against a
+        # 16.5 s hi printed 0.789 on a config whose paired rounds measure
+        # 0.85-0.92). Pairs where either side is below its validity floor
+        # are excluded; if none qualify, fall back to the min-based ratio.
+        paired = [
+            (a, b)
+            for a, b in zip(times[lo], times[hi])
+            if N_EVENTS / a >= EXPECTED_N_EPS_MIN
+            and N_EVENTS / b >= EXPECTED_4N_EPS_MIN
+        ]
+        if paired:
+            eff = statistics.median(a / (4 * b) for a, b in paired)
+        else:
+            eff = tn / (4 * t4n)
         # peak = best observed throughput at ANY level (a single contended
         # local[CPUS] sample must not print a "peak" slower than 4N)
         t_peak = min(min(v) for v in times.values() if v)
@@ -226,8 +247,11 @@ def main() -> None:
             "events_per_sec_n": round(N_EVENTS / tn, 1),
             "events_per_sec_4n": round(N_EVENTS / t4n, 1),
             "events_per_sec_peak": round(N_EVENTS / t_peak, 1),
-            # N -> 4N scaling proxy: perfect scaling would give t4n = tn/4
-            "scaling_efficiency": round(tn / (4 * t4n), 3),
+            # N -> 4N scaling proxy: perfect scaling would give t4n = tn/4.
+            # Median of paired (same-round) ratios — see comment above.
+            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency_min_based": round(tn / (4 * t4n), 3),
+            "n_pairs_valid": len(paired),
             # per-level validity vs known-quiet floors: a false flag means
             # that level's minimum is still contention-degraded after the
             # sampling budget (slow N INFLATES the ratio, slow 4N deflates
