@@ -1232,3 +1232,35 @@ def x_percentiles(spark, sf_dir):
         F.min(cents).alias("min_cents"),
         F.max(cents).alias("max_cents"),
     )
+
+
+@_qx(
+    "x_orc_source",
+    """
+    SELECT p_brand AS brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM part WHERE p_size <= 20 GROUP BY p_brand
+    """,
+)
+def x_orc_source(spark, sf_dir):
+    """ORC source/sink round-trip (columnar format #2 beside parquet, built
+    into Spark): export a slice to ORC, read it back with an explicit
+    schema, aggregate — proves the ORC reader/writer path end-to-end, same
+    shape as the S2/S3/S6 round-trips."""
+    import os
+    import tempfile
+
+    p = load(spark, sf_dir, "part").filter("p_size <= 20").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    tag = _roundtrip_cache_tag(sf_dir, "part")
+    path = os.path.join(tempfile.gettempdir(), f"rds_orcsrc_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        p.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "p_partkey long, p_brand string, p_size int, p_retailprice double"
+    ).orc(path)
+    return back.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+    )
