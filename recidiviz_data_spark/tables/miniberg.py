@@ -509,7 +509,10 @@ class Miniberg:
         if schema_fields is not None:
             old_fields = m["schemas"][str(m["schema_id"])]["fields"]
             if schema_fields["fields"] != old_fields:
-                new_sid = m["schema_id"] + 1
+                # max(ids)+1, NOT schema_id+1: after a rollback the current
+                # schema_id can be lower than ids already allocated, and a
+                # historical id must never be redefined (files reference it)
+                new_sid = max(int(k) for k in m["schemas"]) + 1
                 new["schemas"] = dict(m["schemas"])
                 new["schemas"][str(new_sid)] = schema_fields
                 new["schema_id"] = new_sid
@@ -536,6 +539,52 @@ class Miniberg:
             with open(os.path.join(self.lineage_dir, f"batch-{lid}.json"), "w") as f:
                 json.dump(lineage_rows, f, indent=1)
         return new["version"]
+
+    def rollback(self, to_version: int) -> int:
+        """Restore an earlier snapshot's contents as a NEW version (Iceberg's
+        rollback semantics: history is never rewritten — the rollback is one
+        more commit whose buckets re-reference the old version's sidecars,
+        an O(buckets) metadata operation that moves zero data bytes).
+
+        ``last_applied_batch`` reverts too, so re-tailing the changelog
+        replays everything after the restored watermark (the time-travel +
+        reprocess workflow). Raced writers CAS-conflict as usual."""
+        parent_v = self.current_version()
+        old = self.manifest(to_version)
+        cur = self.manifest(parent_v)
+        new = dict(cur)
+        new["version"] = parent_v + 1
+        new["parent"] = parent_v
+        new["buckets"] = self._bucket_entries_migrated(old, exclude=set())
+        new.pop("files", None)
+        # restored state must be read under the schema it was written with
+        new["schema_id"] = old["schema_id"]
+        new["num_buckets"] = old["num_buckets"]
+        new["bucket_expr"] = old["bucket_expr"]
+        new["last_applied_batch"] = old["last_applied_batch"]
+        new["props"] = {**cur.get("props", {}), "rolled_back_from": parent_v,
+                        "rolled_back_to": to_version}
+        self._write_manifest(new["version"], new)
+        return new["version"]
+
+    def table_changes(
+        self, spark: SparkSession, from_version: int, to_version: int,
+        *, snapshot_seq: int | None = None,
+    ) -> DataFrame:
+        """Change-data-feed read: the I/U/D events that turn snapshot
+        ``from_version`` into ``to_version`` (Delta's table_changes /
+        Iceberg's changelog scan, re-expressed through the snapshot differ —
+        ``differ ∘ apply = identity`` is the tested contract)."""
+        from recidiviz_data_spark.cdc.differ import snapshot_diff
+
+        old = self.read(spark, version=from_version)
+        new = self.read(spark, version=to_version)
+        key = self.manifest(to_version)["key_col"]
+        payload = [c for c in new.columns if c != key]
+        return snapshot_diff(
+            old, new, key=key, payload_cols=payload,
+            snapshot_seq=to_version if snapshot_seq is None else snapshot_seq,
+        )
 
     # ------------------------------------------------------------- utilities
     def bucket_col(self) -> F.Column:

