@@ -191,3 +191,88 @@ def x_doc_chunking(spark, sf_dir):
         .alias("chunk_words"),
         phash(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+SEQ_LEN = 128  # tokens per packed training row
+
+
+@_qx(
+    "x_sequence_packing",
+    f"""
+    WITH nz AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+    lens AS (SELECT doc_id, len(ws) AS n, doc_id // {PACK_BUCKET} AS b FROM nz),
+    wb AS (SELECT doc_id, n, b,
+                  SUM(n) OVER (PARTITION BY b ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n AS off_in_b
+           FROM lens),
+    bsum AS (SELECT b, SUM(n) AS tot FROM lens GROUP BY b),
+    boff AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+             FROM bsum),
+    offs AS (SELECT wb.doc_id, boff.boff + wb.off_in_b AS off
+             FROM wb JOIN boff USING (b)),
+    tok AS (SELECT nz.doc_id, offs.off + i - 1 AS pos, nz.ws[i] AS word
+            FROM nz JOIN offs USING (doc_id),
+                 UNNEST(generate_series(1, len(nz.ws))) t(i)),
+    seqs AS (SELECT pos // {SEQ_LEN} AS seq_id, doc_id, pos, word FROM tok)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           {PHASH_SQL.format(x="string_agg(word, ' ' ORDER BY pos)")} AS seq_hash
+    FROM seqs GROUP BY 1
+    """,
+)
+def x_sequence_packing(spark, sf_dir):
+    """Cross-document sequence packing — the training-example packer: every
+    document's token stream is laid end-to-end at a GLOBAL offset and cut
+    into fixed SEQ_LEN rows, so one packed row can span a doc boundary and
+    no token is padded away. The global offset is the same two-phase scan
+    as x_token_shard_packing (per-bucket windows in parallel + a tiny
+    broadcast offset table — never a global single-partition window); the
+    packed row's content hash is order-exact in both engines."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ws = F.filter(F.split(F.lower("text"), "[ \\t\\n\\r\\f]+"), lambda x: x != "")
+    nz = d.select("doc_id", ws.alias("ws"))
+    lens = nz.select(
+        "doc_id", F.size("ws").alias("n"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).cast("long").alias("b"),
+    )
+    w_in = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = lens.withColumn("off_in_b", F.sum("n").over(w_in) - F.col("n"))
+    bsum = lens.groupBy("b").agg(F.sum("n").alias("tot"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select("b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("boff"))
+    offs = wb.join(F.broadcast(boff), "b").select(
+        "doc_id", (F.col("boff") + F.col("off_in_b")).alias("off")
+    )
+    tok = (
+        nz.join(offs, "doc_id")
+        .select("doc_id", "off", F.posexplode("ws").alias("j", "word"))
+        .select("doc_id", (F.col("off") + F.col("j")).alias("pos"), "word")
+        .withColumn("seq_id", F.floor(F.col("pos") / SEQ_LEN))
+    )
+    # order-exact row hash: collect (pos, word), sort by pos, re-join —
+    # deterministic in both engines (DuckDB uses string_agg ORDER BY pos)
+    packed = tok.groupBy("seq_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        phash(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("seq_hash"),
+    )
+    return packed
