@@ -30,6 +30,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from recidiviz_data_spark.operators import registry
+    from recidiviz_data_spark.operators import cdcops, registry
 
+    # the cdc_* oracles read a deterministic generated changelog with DuckDB
+    # read_parquet; materialize it now (pure pyarrow, no Spark) so the oracle
+    # works even if it runs before the Spark query on a cold /tmp
+    cdcops.ensure_changelogs()
     return dict(registry.ORACLES)

@@ -4,7 +4,9 @@
 The driver checks AT MOST the first 50 ``queries()`` entries (round 1
 evidence: CORRECTNESS_r01 held exactly the first 50 dict entries, cut
 mid-module). The registry therefore holds exactly 50 driver entries
-(48 oracle-checked + 2 rows-only engine demos); additional queries that
+(all 50 oracle-checked since round 4 — the 2 engine demos' oracles read
+their deterministic generated changelog via DuckDB read_parquet); additional
+queries that
 would push past the cap register via ``@_qx`` into the EXTRA dicts — they
 are excluded from ``queries()`` but run against their DuckDB oracles in
 ``tests/test_contract.py`` with the same exactness compare.

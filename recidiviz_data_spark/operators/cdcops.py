@@ -1,16 +1,26 @@
 """CDC engine operators exposed through the driver contract.
 
-``cdc_differ_opcounts`` is fully SQL-expressible (oracle-checked).
-``cdc_apply_state`` and ``cdc_stream_state`` exercise the real engine
-(miniberg MERGE / structured streaming) on a deterministic generated
-changelog — not expressible over the oracle's fixed views, so they carry no
-oracle_sql and get the driver's rows-only check; their correctness gate is
-the pytest replay-equality suite.
+All three are oracle-checked. ``cdc_differ_opcounts`` runs over the fixed
+testdata views. ``cdc_apply_state`` and ``cdc_stream_state`` exercise the
+real engine (miniberg MERGE / structured streaming) on a deterministic
+generated changelog; their oracles read the SAME generated parquet with
+DuckDB ``read_parquet`` and express the LWW fold + tombstone filter in SQL —
+the engine's batch-by-batch (or stream-microbatch) apply must converge to
+exactly that fold regardless of batch/file grouping (staleness is
+event_seq-based, so the global argmax per doc is the unique fixed point).
+
+The changelog is a pure function of its generator parameters (counter-hash
+payloads, no wall-clock/RNG state — gen.py), so the work directory is keyed
+on THOSE PARAMETERS, not on sf_dir: any change to the generator arguments
+provably lands in a fresh directory and regenerates (a stale /tmp table from
+an older code round can never be served), while identical params share one
+cache across scale factors.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -19,6 +29,13 @@ from pyspark.sql import functions as F
 
 from recidiviz_data_spark.operators.base import _q
 from recidiviz_data_spark.operators.relational import load
+
+# generator parameters for the two engine-demo queries — the single source of
+# truth shared by the Spark query, the workdir key, and the DuckDB oracle
+APPLY_GEN = dict(n_docs=800, n_events=6000, n_batches=4, seed=7,
+                 zipf_a=1.2, delete_rate=0.08, dup_rate=0.05, stale_rate=0.03)
+STREAM_GEN = dict(n_docs=400, n_events=3000, n_batches=4, seed=11,
+                  delete_rate=0.1)
 
 
 def _old_new(spark, sf_dir):
@@ -56,81 +73,122 @@ def cdc_differ_opcounts(spark, sf_dir):
     return ev.groupBy("op").agg(F.count("*").alias("n"))
 
 
-def _workdir(sf_dir: str, tag: str) -> str:
-    h = hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:10]
+def _workdir(tag: str, params: dict) -> str:
+    """/tmp workdir keyed on (tag, generator params) — code-version-proof:
+    changing ANY gen_changelog argument changes the key, so a stale cached
+    changelog/table from older parameters can never be served silently."""
+    sig = json.dumps(params, sort_keys=True)
+    h = hashlib.md5(f"{tag}:{sig}".encode()).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"rds_cdc_{tag}_{h}")
 
 
-@_q("cdc_apply_state")  # rows-only: the engine itself is the system under test
-def cdc_apply_state(spark, sf_dir):
-    """End-to-end engine demo: generate a deterministic changelog (dups,
-    deletes, stale replays, Zipf skew), MERGE it batch-by-batch into a
-    miniberg table, return the final state aggregated per source."""
-    from pyspark.sql import types as T
+def changelog_dir(tag: str, params: dict) -> str:
+    return os.path.join(_workdir(tag, params), "changelog")
 
-    from recidiviz_data_spark.cdc.apply import apply_batches, create_empty_table
+
+def ensure_changelog(tag: str, params: dict) -> str:
+    """Generate the deterministic changelog if absent (pure numpy/pyarrow —
+    no Spark needed, so the DuckDB oracle can trigger it too). Returns the
+    changelog directory."""
     from recidiviz_data_spark.gen import gen_changelog
-    from recidiviz_data_spark.tables.miniberg import Miniberg
 
-    wd = _workdir(sf_dir, "apply")
-    cl = os.path.join(wd, "changelog")
-    troot = os.path.join(wd, "table")
+    cl = changelog_dir(tag, params)
     if not os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
         # sentinel, not dir presence: an interrupted generation must never be
         # mistaken for a finished one (the table built on top would be wrong
         # forever, since later runs are idempotent no-ops)
         shutil.rmtree(cl, ignore_errors=True)
-        gen_changelog(cl, n_docs=800, n_events=6000, n_batches=4, seed=7,
-                      zipf_a=1.2, delete_rate=0.08, dup_rate=0.05, stale_rate=0.03)
-    if Miniberg.exists(troot):
-        table = Miniberg(troot)
-    else:
-        payload = T.StructType([
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
-            T.StructField("n_tok", T.IntegerType(), True),
-            T.StructField("source", T.StringType(), True),
-        ])
-        table = create_empty_table(troot, payload, num_buckets=8)
-    apply_batches(spark, table, cl)  # no-op if already applied (idempotent)
+        gen_changelog(cl, **params)
+    return cl
+
+
+def ensure_changelogs() -> None:
+    """Eagerly materialize both engine-demo changelogs — called from
+    ``__spark_entry__.oracle_sql()`` so the oracle's ``read_parquet`` works
+    even if the driver runs the oracle before the Spark query."""
+    ensure_changelog("apply", APPLY_GEN)
+    ensure_changelog("stream", STREAM_GEN)
+
+
+def _state_oracle_sql(tag: str, params: dict) -> str:
+    """The LWW fold + tombstone filter + per-source rollup in DuckDB SQL over
+    the generated changelog parquet. Exact duplicate events share
+    (doc_id, event_seq) with bit-identical payloads, so the row_number tie is
+    value-irrelevant; token normalization in the engine is an identity here
+    (generated tokens are already in [0, vocab) with no pads), so n_tok is
+    unchanged by the apply path."""
+    glob_path = os.path.join(changelog_dir(tag, params), "batch_id=*", "part-*.parquet")
+    return f"""
+    WITH ev AS (
+      SELECT doc_id, op, n_tok, source,
+             row_number() OVER (PARTITION BY doc_id ORDER BY event_seq DESC) AS rn
+      FROM read_parquet('{glob_path}')
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM ev WHERE rn = 1 AND op <> 'D'
+    GROUP BY source
+    """
+
+
+def _payload_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ])
+
+
+def _state_summary(spark, table):
     return (
         table.read(spark)
         .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum(F.col("n_tok").cast("long")).alias("total_tokens"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("n_tok").cast("long")).alias("total_tokens"))
     )
 
 
-@_q("cdc_stream_state")  # rows-only: structured-streaming drive of the MERGE
+@_q("cdc_apply_state", _state_oracle_sql("apply", APPLY_GEN))
+def cdc_apply_state(spark, sf_dir):
+    """End-to-end engine demo: generate a deterministic changelog (dups,
+    deletes, stale replays, Zipf skew), MERGE it batch-by-batch into a
+    miniberg table, return the final state aggregated per source. The oracle
+    computes the same state as one SQL LWW fold over the raw changelog —
+    batch-by-batch apply must converge to it (replay-equality contract)."""
+    from recidiviz_data_spark.cdc.apply import apply_batches, create_empty_table
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    cl = ensure_changelog("apply", APPLY_GEN)
+    troot = os.path.join(_workdir("apply", APPLY_GEN), "table")
+    if Miniberg.exists(troot):
+        table = Miniberg(troot)
+    else:
+        table = create_empty_table(troot, _payload_schema(), num_buckets=8)
+    apply_batches(spark, table, cl)  # no-op if already applied (idempotent)
+    return _state_summary(spark, table)
+
+
+@_q("cdc_stream_state", _state_oracle_sql("stream", STREAM_GEN))
 def cdc_stream_state(spark, sf_dir):
     """Structured Streaming (availableNow + foreachBatch -> miniberg MERGE)
-    over a v1-only changelog; returns the resulting table state summary."""
-    from pyspark.sql import types as T
-
+    over a v1-only changelog; returns the resulting table state summary.
+    Same SQL-fold oracle as ``cdc_apply_state``: the stream's file->microbatch
+    grouping must not change the fixed point (event_seq staleness)."""
     from recidiviz_data_spark.cdc.apply import create_empty_table
-    from recidiviz_data_spark.gen import gen_changelog
     from recidiviz_data_spark.streaming.microbatch import stream_apply_available_now
     from recidiviz_data_spark.tables.miniberg import Miniberg
 
-    wd = _workdir(sf_dir, "stream")
-    cl = os.path.join(wd, "changelog")
+    cl = ensure_changelog("stream", STREAM_GEN)
+    wd = _workdir("stream", STREAM_GEN)
     troot = os.path.join(wd, "table")
     ckpt = os.path.join(wd, "ckpt")
-    if not os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
-        shutil.rmtree(cl, ignore_errors=True)
-        gen_changelog(cl, n_docs=400, n_events=3000, n_batches=4, seed=11, delete_rate=0.1)
     if Miniberg.exists(troot):
         table = Miniberg(troot)
     else:
-        payload = T.StructType([
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
-            T.StructField("n_tok", T.IntegerType(), True),
-            T.StructField("source", T.StringType(), True),
-        ])
-        table = create_empty_table(troot, payload, num_buckets=4)
+        table = create_empty_table(troot, _payload_schema(), num_buckets=4)
     stream_apply_available_now(spark, table, cl, ckpt, max_files_per_trigger=1)
-    return (
-        table.read(spark)
-        .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum(F.col("n_tok").cast("long")).alias("total_tokens"))
-    )
+    return _state_summary(spark, table)
