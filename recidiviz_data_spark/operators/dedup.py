@@ -119,18 +119,26 @@ def d_exact_dedup(spark, sf_dir):
     )
 
 
+# thresholded Jaccard pairs over the capped shingle sets — shared by the
+# d_ngram_jaccard oracle and the clustering oracle's edge set
+_JACCARD_SQL = """
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jac AS (SELECT d1, d2, shared,
+                   CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+            FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+            WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3)
+"""
+
+
 @_q(
     "d_ngram_jaccard",
     f"""
     WITH {_SHINGLES_CAPPED_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
-    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
-              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT d1, d2, shared,
-           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
-    FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
-    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
+    {_JACCARD_SQL}
+    SELECT d1, d2, shared, jaccard FROM jac
     """,
 )
 def d_ngram_jaccard(spark, sf_dir, docs=None):
@@ -374,6 +382,111 @@ def d_simhash_neardup(spark, sf_dir):
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= 2)
+    )
+
+
+def connected_components(spark, edges, src: str = "d1", dst: str = "d2",
+                         max_iter: int = 30):
+    """Connected components over an undirected pair graph -> (node, cluster_id)
+    where cluster_id = MIN node id of the component.
+
+    Algorithm: iterated min-label propagation fused with pointer jumping —
+    each round every node takes the minimum label over {self} ∪ neighbors,
+    then labels chase their own label's label (path halving). Convergence is
+    O(log n) DataFrame iterations (the pointer jump is what turns an
+    O(diameter) chain walk into a doubling), each iteration two shuffle
+    joins over the label table (one row per node that appears in a pair —
+    at 100 TB that is the NEAR-DUP node set, orders of magnitude smaller
+    than the corpus). No per-row Python; the driver loop only compares one
+    aggregated sum per round (labels are monotonically non-increasing, so
+    an unchanged sum IS convergence), and ``localCheckpoint`` truncates the
+    iterative plan lineage. This is the pair->cluster resolution every
+    production dedup pipeline needs (the reference's entity-matching plays
+    this role for entities — SURVEY.md §2.3 J1/J2 [U]
+    persistence/entity_matching.py)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("lbl").alias("nlbl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("min_nbr"))
+        )
+        stepped = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+            "node", F.least("lbl", F.coalesce("min_nbr", "lbl")).alias("lbl")
+        )
+        jump = stepped.select(F.col("node").alias("jn"), F.col("lbl").alias("jlbl"))
+        labels = (
+            stepped.join(jump, stepped["lbl"] == jump["jn"], "left")
+            .select(
+                "node", F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+@_qx(
+    "x_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CAPPED_SQL},
+    {_JACCARD_SQL},
+    edges AS (SELECT d1 AS a, d2 AS b FROM jac
+              UNION ALL SELECT d2, d1 FROM jac),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    allc AS (
+      SELECT doc_id, cluster_id FROM comp
+      UNION ALL
+      SELECT d.doc_id, d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+    )
+    SELECT a.doc_id, a.cluster_id, a.doc_id = a.cluster_id AS is_keeper,
+           CAST(cs.n AS BIGINT) AS cluster_size
+    FROM allc a
+    JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM allc GROUP BY 1) cs
+      USING (cluster_id)
+    """,
+)
+def x_neardup_clusters(spark, sf_dir, docs=None):
+    """Near-dup pair -> cluster -> keeper resolution: the confirmed n-gram
+    Jaccard pairs (>= 0.3 over DF-capped shingles) become an undirected
+    graph; connected components collapse transitive chains (A~B, B~C => one
+    cluster even if A!~C); keeper = min doc_id per cluster. Docs in no pair
+    are their own singleton cluster, so the output is a total keep/drop
+    decision per doc — ``filter(is_keeper)`` IS the deduped corpus. Oracle:
+    DuckDB recursive CTE computing the same transitive closure."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    pairs = d_ngram_jaccard(spark, sf_dir, docs=docs).select("d1", "d2")
+    comp = connected_components(spark, pairs)
+    singles = d.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    ).withColumn("cluster_id", F.col("doc_id"))
+    allc = comp.select(F.col("node").alias("doc_id"), "cluster_id").unionByName(singles)
+    sizes = allc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        allc.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+            "cluster_size",
+        )
     )
 
 

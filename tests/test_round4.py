@@ -32,3 +32,54 @@ def test_cdc_workdir_keyed_on_generator_params():
     c2 = ensure_changelog("stream", {**p1, "n_docs": 50, "n_events": 200})
     assert c2 != c1
     assert os.path.exists(os.path.join(c2, "_GEN_SUCCESS"))
+
+
+def test_connected_components_planted_chain(spark):
+    """A~B, B~C must land in ONE cluster (transitive closure, not just
+    pairs), keeper = min id; disjoint D~E stays separate; long chains
+    converge through the pointer-jumping iterations."""
+    from recidiviz_data_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)] + [(i, i + 1) for i in range(100, 120)],
+        "d1 long, d2 long",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(spark, edges).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    # 21-node chain: all collapse to the min label despite diameter 20
+    assert all(got[i] == 100 for i in range(100, 121))
+
+
+def test_neardup_clusters_planted(spark):
+    """End-to-end pair->cluster->keeper on planted near-dup docs: A~B and
+    B~C are each similar enough to pair, A and C less so — all three must
+    still form one cluster with keeper A."""
+    from recidiviz_data_spark.operators.dedup import x_neardup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    # 36 unique filler docs so the hot-shingle DF cap (df > nd/10) does not
+    # swallow the planted trio's shared shingles (df=3 needs nd >= 30)
+    filler = [
+        (i, f"filler{i}a filler{i}b filler{i}c filler{i}d filler{i}e")
+        for i in range(4, 40)
+    ]
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, " ".join(words[:9] + ["mu"])),      # ~A: 8 shared shingles
+            (2, " ".join(words[:8] + ["mu", "nu"])),  # ~B more than ~A
+            (3, "totally different content with many unrelated words here"),
+        ]
+        + filler,
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in x_neardup_clusters(spark, "", docs=docs).collect()}
+    assert rows[0]["cluster_id"] == rows[1]["cluster_id"] == rows[2]["cluster_id"] == 0
+    assert rows[0]["is_keeper"] and not rows[1]["is_keeper"] and not rows[2]["is_keeper"]
+    assert rows[3]["cluster_id"] == 3 and rows[3]["is_keeper"]
+    assert rows[0]["cluster_size"] == 3 and rows[3]["cluster_size"] == 1
