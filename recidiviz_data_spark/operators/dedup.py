@@ -29,6 +29,18 @@ N_BANDS = 4  # rows per band = 2
 DF_CAP_NUM = 1
 DF_CAP_DEN = 10
 
+# candidate-pair budget guard for the banded joins: the DF cap bounds shingle
+# groups, but a pathological corpus of identical SIGNATURES (e.g. 10^5 exact
+# copies of one page that slipped past exact dedup, or an adversarial flood)
+# still makes one band bucket quadratic. Buckets larger than the cap are
+# dropped before pair expansion — they carry no ranking signal (everything in
+# them is "similar") and their members are cheaper to collapse via exact
+# dedup. Caps sit above the natural head bucket at demo scale (minhash max 9
+# at sf0.1; simhash max 785 — 8-bit bands have only 256 values) so results
+# are unchanged on real corpora; a 100 TB run would tune per corpus.
+MINHASH_BAND_CAP = 200
+SIMHASH_BAND_CAP = 1000
+
 
 def _shingles(spark, sf_dir, docs=None):
     """Distinct 3-word shingles per doc (native HOFs: split/transform/slice).
@@ -178,10 +190,15 @@ _MINHASH_SQL = f"""
   hashes AS (SELECT doc_id, j, MIN((h * a + j) % {LSH_P}) AS mh
              FROM hs, (VALUES {_LANES_VALUES}) lanes(j, a)
              GROUP BY doc_id, j),
-  bands AS (SELECT doc_id, j // 2 AS band,
-                   MIN(CASE WHEN j % 2 = 0 THEN mh END) AS h_lo,
-                   MIN(CASE WHEN j % 2 = 1 THEN mh END) AS h_hi
-            FROM hashes GROUP BY doc_id, j // 2)
+  bands0 AS (SELECT doc_id, j // 2 AS band,
+                    MIN(CASE WHEN j % 2 = 0 THEN mh END) AS h_lo,
+                    MIN(CASE WHEN j % 2 = 1 THEN mh END) AS h_hi
+             FROM hashes GROUP BY doc_id, j // 2),
+  hotband AS (SELECT band, h_lo, h_hi FROM bands0
+              GROUP BY 1, 2, 3 HAVING COUNT(*) > {MINHASH_BAND_CAP}),
+  bands AS (SELECT * FROM bands0 b WHERE NOT EXISTS
+            (SELECT 1 FROM hotband h
+             WHERE h.band = b.band AND h.h_lo = b.h_lo AND h.h_hi = b.h_hi))
 """
 
 
@@ -197,7 +214,7 @@ _MINHASH_SQL = f"""
     GROUP BY 1, 2
     """,
 )
-def d_minhash_lsh(spark, sf_dir, docs=None):
+def d_minhash_lsh(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
     """MinHash+LSH: shingle -> k=8 minhash signature -> 4 bands of 2 ->
     bucket-join on band value. Candidate pairs = docs agreeing on >=1 band.
     The band bucket-join is the 100TB-scale path (no pairwise work).
@@ -234,6 +251,16 @@ def d_minhash_lsh(spark, sf_dir, docs=None):
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.h_lo", "bs.h_hi")
+    # candidate budget: drop band buckets larger than the cap BEFORE the pair
+    # join (see MINHASH_BAND_CAP). The hot-bucket list is provably small
+    # (each hot bucket accounts > cap docs), so it broadcast-anti-joins.
+    hot = (
+        bands.groupBy("band", "h_lo", "h_hi")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > band_cap)
+        .select("band", "h_lo", "h_hi")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "h_lo", "h_hi"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -301,8 +328,12 @@ def _simhash_sig(spark, sf_dir):
     "d_simhash_banded",
     f"""
     WITH {_SIMHASH_SQL},
-    bandrows AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bits
-                 FROM sig, UNNEST(generate_series(0, 3)) t(band)),
+    bandrows0 AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bits
+                  FROM sig, UNNEST(generate_series(0, 3)) t(band)),
+    hotband AS (SELECT band, bits FROM bandrows0
+                GROUP BY 1, 2 HAVING COUNT(*) > {SIMHASH_BAND_CAP}),
+    bandrows AS (SELECT * FROM bandrows0 b WHERE NOT EXISTS
+                 (SELECT 1 FROM hotband h WHERE h.band = b.band AND h.bits = b.bits)),
     cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
                     a.simhash AS s1, b.simhash AS s2
              FROM bandrows a JOIN bandrows b
@@ -311,14 +342,17 @@ def _simhash_sig(spark, sf_dir):
     FROM cand WHERE bit_count(xor(s1, s2)) <= 2
     """,
 )
-def d_simhash_banded(spark, sf_dir):
+def d_simhash_banded(spark, sf_dir, band_cap=SIMHASH_BAND_CAP):
     """Banded SimHash near-dup — the 100TB scale path: split the 32-bit
     signature into 4 bands of 8 bits, equi-join on (band, band_bits), and
     compute exact hamming only within shared-band candidates. Pigeonhole:
     hamming <= 2 flips at most 2 bands, so every qualifying pair agrees on
     >= 2 of 4 bands and is guaranteed to surface — identical output to the
     all-pairs scan ``d_simhash_neardup`` (kept as the pytest oracle), with
-    the O(n²) cross join replaced by a bucket equi-join."""
+    the O(n²) cross join replaced by a bucket equi-join. Band buckets above
+    ``band_cap`` are dropped first (candidate budget — see SIMHASH_BAND_CAP);
+    the cap sits above any natural bucket at demo scale, so the pigeonhole
+    equality holds there."""
     sig = _simhash_sig(spark, sf_dir)
     bandrows = sig.select(
         "doc_id",
@@ -335,6 +369,17 @@ def d_simhash_banded(spark, sf_dir):
             )
         ).alias("bs"),
     ).select("doc_id", "simhash", "bs.band", "bs.bits")
+    # same candidate budget as the minhash path (SIMHASH_BAND_CAP): a flood
+    # of identical signatures must not turn one band bucket quadratic. A
+    # dropped pair is only LOST if every one of its >= 2 agreeing bands is
+    # hot — the pigeonhole guarantee degrades gracefully under the cap.
+    hot = (
+        bandrows.groupBy("band", "bits")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > band_cap)
+        .select("band", "bits")
+    )
+    bandrows = bandrows.join(F.broadcast(hot), ["band", "bits"], "left_anti")
     a, b = bandrows.alias("a"), bandrows.alias("b")
     cand = (
         a.join(

@@ -34,6 +34,46 @@ def test_cdc_workdir_keyed_on_generator_params():
     assert os.path.exists(os.path.join(c2, "_GEN_SUCCESS"))
 
 
+def test_band_cap_bounds_identical_signature_flood(spark):
+    """A flood of identical docs makes every band bucket quadratic; the
+    band cap must bound candidate pairs (dropped bucket => zero pairs from
+    it), while an uncapped run explodes to n*(n-1)/2."""
+    from recidiviz_data_spark.operators.dedup import d_simhash_banded
+
+    docs = spark.createDataFrame(
+        [(i, "same exact words repeated in every single flooded document") for i in range(300)],
+        "doc_id long, text string",
+    )
+    import recidiviz_data_spark.operators.dedup as dd
+    import recidiviz_data_spark.operators.relational as rel
+
+    orig = rel.load
+    try:
+        # route the documents table to the planted corpus
+        dd.load = rel.load = lambda spark_, sf_, t: docs
+        uncapped = d_simhash_banded(spark, "", band_cap=1 << 30).count()
+        capped = d_simhash_banded(spark, "", band_cap=50).count()
+    finally:
+        dd.load = rel.load = orig
+    assert uncapped == 300 * 299 // 2
+    assert capped == 0
+
+
+def test_minhash_band_cap_bounds_flood(spark):
+    """100 exact copies (below the shingle DF cap threshold in a 1000-doc
+    corpus) share every minhash band; band_cap=50 drops those buckets, the
+    default cap keeps them."""
+    from recidiviz_data_spark.operators.dedup import d_minhash_lsh
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(100)]
+    rows += [(1000 + i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = d_minhash_lsh(spark, "", docs=docs).count()
+    capped = d_minhash_lsh(spark, "", docs=docs, band_cap=50).count()
+    assert uncapped == 100 * 99 // 2
+    assert capped == 0
+
+
 def test_connected_components_planted_chain(spark):
     """A~B, B~C must land in ONE cluster (transitive closure, not just
     pairs), keeper = min id; disjoint D~E stays separate; long chains
