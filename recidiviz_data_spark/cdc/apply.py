@@ -223,6 +223,8 @@ def apply_batch(
     max_invalid_ratio: float | None = None,
     commit_props: dict | None = None,
     decision_prune: bool | str = "auto",
+    mor: bool | str = "auto",
+    mor_max_changed_fraction: float = 0.05,
 ) -> list[dict]:
     """MERGE one changelog batch into the table. Exactly-once: a batch_id at
     or below the committed watermark is a no-op. Returns lineage rows.
@@ -234,6 +236,10 @@ def apply_batch(
     and one partitioned write. ``compact='auto'`` re-buckets the whole rewrite
     only when a bucket's file count exceeds ``compact_files_per_bucket``,
     otherwise target rows stream through the broadcast anti-join unshuffled.
+    ``mor`` ('auto'/True/False) writes merge-on-read DELTA files instead of
+    rewriting buckets whose changed fraction is below
+    ``mor_max_changed_fraction`` — the write-amplification fix for dribble
+    batches at lake scale; auto-compaction bounds delta depth.
 
     Driver-synchronous work is kept to the minimum: 2 collect jobs + 1 write
     per batch on the common path (metrics/changed-bucket selection share one
@@ -405,6 +411,7 @@ def apply_batch(
 
         added: list[dict] = []
         changed_buckets: set[int] = set()
+        cow_buckets: set[int] = set()
         if n_changed:
             # ---- pass 3: copy-on-write rewrite — ONLY buckets that actually
             # changed (a stale-heavy replay batch may touch every bucket with
@@ -412,14 +419,42 @@ def apply_batch(
             # write amplification). The changed-bucket set falls out of the
             # per-bucket metrics already collected — no extra Spark job.
             changed = decisions.filter(F.col("_cls").isin("applied", "deleted"))
-            changed_buckets = {
-                b
+            changed_per_bucket = {
+                b: (r.get("applied") or 0) + (r.get("deleted") or 0)
                 for b, r in dec_metrics.items()
-                if ((r.get("applied") or 0) + (r.get("deleted") or 0)) > 0
             }
+            changed_buckets = {b for b, n in changed_per_bucket.items() if n > 0}
+            files_per_bucket = {b: s["n_files"] for b, s in bucket_summ.items()}
+            need_compact = compact is True or (
+                compact == "auto"
+                and any(
+                    files_per_bucket.get(b, 0) >= compact_files_per_bucket
+                    for b in changed_buckets
+                )
+            )
+            # ---- merge-on-read: buckets whose changed-row fraction is below
+            # the threshold get a DELTA file (winner rows only) instead of a
+            # copy-on-write rewrite — at 100 TB a 0.1%-dribble batch then
+            # writes ~0.1% of the bytes COW would, and the bucket's base
+            # files are not even read for rewrite. Reads resolve deltas via
+            # a broadcast anti-join (miniberg._read_files); auto-compaction
+            # (file count >= compact_files_per_bucket) folds them back into
+            # base files, bounding delta depth. A compacting batch writes
+            # everything COW (the rewrite is already full-bucket).
+            mor_buckets: set[int] = set()
+            if mor and not need_compact:
+                for b in changed_buckets:
+                    s = bucket_summ.get(b)
+                    if not s or not s.get("rows"):
+                        continue  # no base rows: the "delta" would be the base
+                    if mor is True or (
+                        changed_per_bucket[b] <= mor_max_changed_fraction * s["rows"]
+                    ):
+                        mor_buckets.add(b)
+            cow_buckets = changed_buckets - mor_buckets
             changed_docs = changed.select("doc_id")
             target_full = _align(
-                table.read(spark, buckets=sorted(changed_buckets), include_internal=True),
+                table.read(spark, buckets=sorted(cow_buckets), include_internal=True),
                 target_schema,
             )
             kept = target_full.join(changed_docs, "doc_id", "left_anti").withColumn(
@@ -438,14 +473,6 @@ def apply_batch(
                 target_schema,
             ).withColumn(BUCKET, bucket_expr)
 
-            files_per_bucket = {b: s["n_files"] for b, s in bucket_summ.items()}
-            need_compact = compact is True or (
-                compact == "auto"
-                and any(
-                    files_per_bucket.get(b, 0) >= compact_files_per_bucket
-                    for b in changed_buckets
-                )
-            )
             n_out = max(len(changed_buckets), 1)
             if need_compact:
                 # full re-bucket: one file per bucket after this commit
@@ -458,6 +485,9 @@ def apply_batch(
             rewrite.write.partitionBy(BUCKET).parquet(staging)
             schema_id = m["schema_id"] + (1 if schema_changed else 0)
             added = table.collect_staged_files(staging, schema_id)
+            for e in added:
+                if e["bucket"] in mor_buckets:
+                    e["kind"] = "delta"
 
         # ---- lineage rows (FIXTURES.md §A5 reconciliation invariant)
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -481,7 +511,9 @@ def apply_batch(
 
         table.commit(
             added_files=added,
-            replaced_buckets=changed_buckets,
+            # MOR buckets are NOT replaced: their delta entries append into
+            # the carried sidecar; only copy-on-write buckets swap wholesale
+            replaced_buckets=cow_buckets,
             schema_fields=new_fields if schema_changed else None,
             last_applied_batch=batch_id,
             lineage_rows=lineage,

@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--max-invalid-ratio", type=float, default=None,
                    help="abort a batch whose invalid-event ratio exceeds this")
+    p.add_argument("--mor", default="auto", choices=["auto", "on", "off"],
+                   help="merge-on-read deletes: 'auto' writes per-bucket "
+                        "delta files for dribble batches (changed fraction "
+                        "below --mor-threshold) instead of rewriting the "
+                        "bucket; 'on' forces deltas, 'off' always COW")
+    p.add_argument("--mor-threshold", type=float, default=0.05,
+                   help="max changed-row fraction for a bucket to take the "
+                        "delta path under --mor auto")
     p.add_argument("--split-buckets-factor", type=int, default=None,
                    help="re-bucket the table N -> factor*N after applying "
                         "(shuffle-free map-only rewrite; the growth path)")
@@ -92,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     lineage = apply_batches(
         spark, table, args.changelog, upto=args.upto, dedup_strategy=args.dedup,
         max_invalid_ratio=args.max_invalid_ratio,
+        mor={"auto": "auto", "on": True, "off": False}[args.mor],
+        mor_max_changed_fraction=args.mor_threshold,
     )
     wall = time.monotonic() - t0
 

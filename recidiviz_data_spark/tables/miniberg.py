@@ -354,13 +354,13 @@ class Miniberg:
         files = self.files(buckets=buckets, manifest=m)
         return self._read_files(spark, m, files, include_internal=include_internal)
 
-    def _read_files(
-        self, spark: SparkSession, m: dict, files: list[dict], *, include_internal: bool
+    def _union_aligned(
+        self, spark: SparkSession, m: dict, files: list[dict], full: T.StructType
     ) -> DataFrame:
-        full = self._schema_struct(m, m["schema_id"], include_internal=True)
-        user = self._schema_struct(m, m["schema_id"], include_internal=False)
+        """Union the given file entries, aligning each schema-id group onto
+        ``full`` (null-fill added columns, widen-cast old physical types)."""
         if not files:
-            return spark.createDataFrame([], full if include_internal else user)
+            return spark.createDataFrame([], full)
         by_schema: dict[int, list[str]] = {}
         for f in files:
             by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
@@ -372,6 +372,38 @@ class Miniberg:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        return out
+
+    def _read_files(
+        self, spark: SparkSession, m: dict, files: list[dict], *, include_internal: bool
+    ) -> DataFrame:
+        """Merge-on-read resolution: ``kind == "delta"`` entries hold upsert/
+        tombstone rows written WITHOUT rewriting their bucket's base files
+        (Iceberg v2 delete-file analog, upsert-flavored). A key's newest delta
+        row (max ``_seq`` — the apply path's stale filter guarantees deltas
+        strictly supersede base and each other) wins over any base row via a
+        LEFT ANTI join on the delta key set; at lake scale the delta side is
+        the small dribble batch, so AQE broadcasts it and base rows stream
+        through unshuffled. Buckets with no deltas read exactly as before
+        (compaction folds deltas back into base files)."""
+        full = self._schema_struct(m, m["schema_id"], include_internal=True)
+        user = self._schema_struct(m, m["schema_id"], include_internal=False)
+        if not files:
+            return spark.createDataFrame([], full if include_internal else user)
+        base = [f for f in files if f.get("kind") != "delta"]
+        deltas = [f for f in files if f.get("kind") == "delta"]
+        out = self._union_aligned(spark, m, base, full)
+        if deltas:
+            key = m.get("key_col", "doc_id")
+            d = self._union_aligned(spark, m, deltas, full)
+            others = [f.name for f in full.fields if f.name not in (key, "_seq")]
+            latest = (
+                d.groupBy(key)
+                .agg(F.max(F.struct(F.col("_seq"), *[F.col(c) for c in others])).alias("_w"))
+                .select(key, "_w.*")
+                .select([f.name for f in full.fields])
+            )
+            out = out.join(latest.select(key), key, "left_anti").unionByName(latest)
         if include_internal:
             return out
         if "_deleted" in out.columns:

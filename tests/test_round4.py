@@ -34,6 +34,146 @@ def test_cdc_workdir_keyed_on_generator_params():
     assert os.path.exists(os.path.join(c2, "_GEN_SUCCESS"))
 
 
+# ------------------------------------------------------- merge-on-read (MOR)
+V1_PAYLOAD = None  # built lazily (pyspark types import inside fixtures)
+
+
+def _v1_payload():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+
+
+def _table_state(spark, table, with_lang=False):
+    df = table.read(spark)
+    cols = ["doc_id", "tokens", "n_tok", "source"] + (["lang"] if with_lang else [])
+    return df.selectExpr(
+        *[c if c != "n_tok" else "CAST(n_tok AS BIGINT) AS n_tok" for c in cols]
+    ).toPandas()
+
+
+def test_mor_forced_replay_equality(spark, changelog_small, tmp_path):
+    """Forced merge-on-read (every eligible bucket writes deltas, never a
+    rewrite) must reproduce the LWW-fold oracle exactly — deletes become
+    delta tombstones, stale replays stay dead, the mid-log schema bump
+    lands in delta files read against older base files."""
+    from recidiviz_data_spark.cdc.apply import apply_batches, create_empty_table
+    from recidiviz_data_spark.oracle import assert_state_equal, expected_state_with_lang
+
+    d, _ = changelog_small
+    table = create_empty_table(str(tmp_path / "t_mor"), _v1_payload(), num_buckets=8)
+    apply_batches(spark, table, d, mor=True, compact=False)
+    kinds = [f.get("kind") for f in table.files()]
+    assert "delta" in kinds, "forced MOR produced no delta entries"
+    assert_state_equal(
+        _table_state(spark, table, with_lang=True), expected_state_with_lang(d)
+    )
+
+
+def test_mor_autocompact_folds_deltas(spark, changelog_small, tmp_path):
+    """With compact='auto', delta depth is bounded: once a bucket hits the
+    file threshold the next write COWs it, folding deltas into base files.
+    Equality must survive the fold."""
+    from recidiviz_data_spark.cdc.apply import apply_batches, create_empty_table
+    from recidiviz_data_spark.oracle import assert_state_equal, expected_state_with_lang
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    d, _ = changelog_small
+    table = create_empty_table(str(tmp_path / "t_morc"), _v1_payload(), num_buckets=8)
+    apply_batches(spark, table, d, mor=True, compact="auto", compact_files_per_bucket=3)
+    summ = Miniberg.bucket_summaries(table.manifest())
+    assert summ and all(s["n_files"] <= 3 for s in summ.values()), summ
+    assert_state_equal(
+        _table_state(spark, table, with_lang=True), expected_state_with_lang(d)
+    )
+
+
+def test_mor_point_lookup_and_tombstone(spark, changelog_plain, tmp_path):
+    """read_keys on a MOR table resolves deltas: an updated key returns its
+    newest payload, a deleted key disappears (tombstone delta wins over the
+    live base row)."""
+    from pyspark.sql import functions as F
+
+    from recidiviz_data_spark.cdc.apply import apply_batch, apply_batches, create_empty_table
+
+    d, _ = changelog_plain
+    table = create_empty_table(str(tmp_path / "t_morp"), _v1_payload(), num_buckets=4)
+    apply_batches(spark, table, d)
+    live = table.read(spark).select("doc_id").limit(2).collect()
+    k_upd, k_del = live[0][0], live[1][0]
+    batch = spark.createDataFrame(
+        [
+            (10_000_000, "U", k_upd, [7, 7, 7], 3, "web"),
+            (10_000_001, "D", k_del, None, None, None),
+        ],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    apply_batch(spark, table, batch, table.manifest()["last_applied_batch"] + 1,
+                mor=True, compact=False)
+    assert any(f.get("kind") == "delta" for f in table.files())
+    got = {r["doc_id"]: r for r in table.read_keys(spark, [k_upd, k_del]).collect()}
+    assert list(got) == [k_upd] and got[k_upd]["tokens"] == [7, 7, 7]
+    # stale replay AFTER the tombstone must not resurrect the doc
+    stale = spark.createDataFrame(
+        [(1, "U", k_del, [9], 1, "web")],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    apply_batch(spark, table, stale, table.manifest()["last_applied_batch"] + 1,
+                mor=True, compact=False)
+    assert table.read(spark).filter(F.col("doc_id") == k_del).count() == 0
+
+
+def test_mor_write_amplification(spark, tmp_path):
+    """A 1%-change dribble batch under MOR writes < 10% of the bytes the
+    copy-on-write rewrite would, and both modes read back identically."""
+    import shutil
+
+    from recidiviz_data_spark.cdc.apply import apply_batch, apply_batches, create_empty_table
+    from recidiviz_data_spark.gen import gen_changelog
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    cl = str(tmp_path / "cl")
+    gen_changelog(cl, n_docs=4000, n_events=4000, n_batches=1, delete_rate=0.0)
+    base_root = str(tmp_path / "t_base")
+    table = create_empty_table(base_root, _v1_payload(), num_buckets=8)
+    apply_batches(spark, table, cl)
+    cow_root = str(tmp_path / "t_cow")
+    shutil.copytree(base_root, cow_root)
+
+    batch = spark.createDataFrame(
+        [
+            (1_000_000 + i, "U", f"doc_{i:08d}", [1, 2, 3], 3, "web")
+            for i in range(0, 4000, 100)  # 40 docs = 1%
+        ],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+
+    def added_bytes(t, **kw):
+        before = {f["path"] for f in t.files()}
+        apply_batch(spark, t, batch, t.manifest()["last_applied_batch"] + 1,
+                    compact=False, **kw)
+        return sum(f["bytes"] for f in t.files() if f["path"] not in before)
+
+    mor_b = added_bytes(table, mor="auto")
+    cow_b = added_bytes(Miniberg(cow_root), mor=False)
+    assert any(f.get("kind") == "delta" for f in table.files()), "auto MOR did not fire"
+    assert mor_b < 0.1 * cow_b, (mor_b, cow_b)
+    a = _table_state(spark, table).sort_values("doc_id").reset_index(drop=True)
+    b = _table_state(spark, Miniberg(cow_root)).sort_values("doc_id").reset_index(drop=True)
+    assert a.drop(columns=["tokens"]).equals(b.drop(columns=["tokens"]))
+    assert (a.tokens.map(tuple) == b.tokens.map(tuple)).all()
+
+
 def test_band_cap_bounds_identical_signature_flood(spark):
     """A flood of identical docs makes every band bucket quadratic; the
     band cap must bound candidate pairs (dropped bucket => zero pairs from
