@@ -232,6 +232,12 @@ def main() -> None:
             eff = statistics.median(a / (4 * b) for a, b in paired)
         else:
             eff = tn / (4 * t4n)
+        # transparency: the same paired-median over ALL rounds, floor
+        # exclusions OFF — readers can see the exclusion's effect directly
+        # (excluding slow-4N pairs can only raise the headline number)
+        eff_all = statistics.median(
+            a / (4 * b) for a, b in zip(times[lo], times[hi])
+        )
         # peak = best observed throughput at ANY level (a single contended
         # local[CPUS] sample must not print a "peak" slower than 4N)
         t_peak = min(min(v) for v in times.values() if v)
@@ -251,6 +257,7 @@ def main() -> None:
             # Median of paired (same-round) ratios — see comment above.
             "scaling_efficiency": round(eff, 3),
             "scaling_efficiency_min_based": round(tn / (4 * t4n), 3),
+            "scaling_efficiency_all_pairs": round(eff_all, 3),
             "n_pairs_valid": len(paired),
             # per-level validity vs known-quiet floors: a false flag means
             # that level's minimum is still contention-degraded after the

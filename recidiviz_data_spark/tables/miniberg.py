@@ -270,7 +270,9 @@ class Miniberg:
             out.extend(self._load_sidecar(s["path"]))
         return out
 
-    def _bucket_entries_migrated(self, m: dict, exclude: set[int]) -> dict[str, dict]:
+    def _bucket_entries_migrated(
+        self, m: dict, exclude: set[int], record: dict | None = None
+    ) -> dict[str, dict]:
         """Parent manifest's buckets OUTSIDE ``exclude`` as {bucket_str:
         summary-with-path}. A legacy parent is migrated here: its inline list
         is grouped per bucket and written out as sidecars ONCE (the first
@@ -284,15 +286,18 @@ class Miniberg:
             if f["bucket"] in exclude:
                 continue
             grouped.setdefault(str(f["bucket"]), []).append(f)
-        return {
-            bk: {
-                "path": self._write_sidecar(entries),
+        out: dict[str, dict] = {}
+        for bk, entries in grouped.items():
+            rel = self._write_sidecar(entries)
+            if record is not None:
+                record[rel] = entries
+            out[bk] = {
+                "path": rel,
                 "n_files": len(entries),
                 "rows": sum(e.get("rows", 0) for e in entries),
                 "bytes": sum(e.get("bytes", 0) for e in entries),
             }
-            for bk, entries in grouped.items()
-        }
+        return out
 
     # ------------------------------------------------------------- schema
     def spark_schema(self, version: int | None = None, *, include_internal: bool = True) -> T.StructType:
@@ -346,13 +351,59 @@ class Miniberg:
         *,
         buckets: list[int] | None = None,
         include_internal: bool = False,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Read a snapshot, aligning every file group to the snapshot schema
         (null-fill added columns, widen-cast old physical types). Default
-        reads hide internal columns AND filter tombstone rows."""
+        reads hide internal columns AND filter tombstone rows.
+
+        ``stats_filter`` = {column: (lo, hi)} (inclusive; None = unbounded):
+        files whose recorded footer min/max prove no row can match are
+        skipped (secondary-column data skipping — the Iceberg per-file
+        column-stats prune), and the exact residual filter is applied to the
+        surviving rows. At lake scale a ``ts``-range or ``source`` predicate
+        then opens only the files that can match instead of the bucket's
+        whole history."""
         m = self.manifest(version)
         files = self.files(buckets=buckets, manifest=m)
-        return self._read_files(spark, m, files, include_internal=include_internal)
+        if stats_filter:
+            files = self.files_for_stats(files, stats_filter)
+        out = self._read_files(spark, m, files, include_internal=include_internal)
+        if stats_filter:
+            for col, (lo, hi) in stats_filter.items():
+                if lo is not None:
+                    out = out.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(col) <= F.lit(hi))
+        return out
+
+    @staticmethod
+    def files_for_stats(files: list[dict], stats_filter: dict) -> list[dict]:
+        """Drop files whose recorded per-column min/max exclude every value
+        in the requested ranges. Conservative on every uncertainty: missing
+        stats, type-mismatched bounds, and — crucially — any bucket that has
+        DELTA files keeps ALL its files (pruning a base file there could
+        resurrect a superseded row, since merge-on-read resolution needs the
+        base row present to anti-join it away)."""
+        delta_buckets = {f["bucket"] for f in files if f.get("kind") == "delta"}
+
+        def keep(f: dict) -> bool:
+            if f["bucket"] in delta_buckets:
+                return True
+            for col, (lo, hi) in stats_filter.items():
+                s = f.get("stats", {}).get(col)
+                if not s:
+                    continue
+                smin, smax = s
+                if lo is not None and isinstance(lo, str) == isinstance(smax, str):
+                    if smax < lo:
+                        return False
+                if hi is not None and isinstance(hi, str) == isinstance(smin, str):
+                    if smin > hi:
+                        return False
+            return True
+
+        return [f for f in files if keep(f)]
 
     def _union_aligned(
         self, spark: SparkSession, m: dict, files: list[dict], full: T.StructType
@@ -415,11 +466,22 @@ class Miniberg:
     def files_for_keys(files: list[dict], keys: list) -> list[dict]:
         """Data skipping: drop files whose footer key-range (recorded at
         write time in the manifest entry) cannot contain ANY of the keys.
-        Files without recorded stats are conservatively kept."""
+        Files without recorded stats are conservatively kept. A key whose
+        Python type does not match the recorded stat type (str key on an int
+        key column or vice versa) raises a clear error instead of a
+        TypeError mid-comparison."""
         def may_contain(f: dict) -> bool:
             if "key_min" not in f:
                 return True
-            return any(f["key_min"] <= k <= f["key_max"] for k in keys)
+            kmin = f["key_min"]
+            for k in keys:
+                if isinstance(k, str) != isinstance(kmin, str):
+                    raise ValueError(
+                        f"key {k!r} ({type(k).__name__}) does not match the "
+                        f"key column's recorded stats type "
+                        f"({type(kmin).__name__})"
+                    )
+            return any(kmin <= k <= f["key_max"] for k in keys)
 
         return [f for f in files if may_contain(f)]
 
@@ -486,9 +548,15 @@ class Miniberg:
                 "bytes": os.path.getsize(os.path.join(self.root, dest_rel)),
                 "schema_id": schema_id,
             }
-            kmin, kmax = _footer_key_range(meta, key_col)
-            if kmin is not None:
-                entry["key_min"], entry["key_max"] = kmin, kmax
+            ranges = _footer_col_ranges(meta)
+            if key_col in ranges:
+                entry["key_min"], entry["key_max"] = ranges[key_col]
+            # per-column stats: min/max for every scalar str/int leaf
+            # (source, n_tok, _seq, and the key again for uniform access) —
+            # free, the footer is already parsed; read(stats_filter=...)
+            # prunes files on them
+            if ranges:
+                entry["stats"] = {c: list(r) for c, r in ranges.items()}
             entries.append(entry)
         shutil.rmtree(staging_dir, ignore_errors=True)
         return entries
@@ -504,6 +572,7 @@ class Miniberg:
         expected_parent: int | None = None,
         props: dict | None = None,
         num_buckets: int | None = None,
+        rebase_retries: int = 3,
     ) -> int:
         """Create snapshot N+1: carry over buckets outside
         ``replaced_buckets`` (their sidecars are re-referenced verbatim — an
@@ -511,27 +580,115 @@ class Miniberg:
         ``added_files`` as fresh per-bucket sidecars. Atomic; raises
         CommitConflict if raced.
 
+        DISJOINT-BUCKET REBASE (Iceberg's optimistic-concurrency retry): when
+        a racing writer wins the CAS but touched only buckets disjoint from
+        ours — and neither schema, bucket count, nor the batch watermark
+        conflicts — the commit automatically re-reads the new parent and
+        retries (up to ``rebase_retries``), so partitioned writers ingesting
+        disjoint key ranges never replay their whole apply. Any overlap or
+        watermark/schema movement still raises, because the caller's
+        decisions were computed against state that actually changed.
+
         ``num_buckets`` re-declares the table's bucket function atomically with
         this commit (bucket-split maintenance): EVERY pre-existing bucket must
         be in ``replaced_buckets`` — a manifest may never mix bucket functions."""
-        parent_v = self.current_version()
-        if expected_parent is not None and parent_v != expected_parent:
-            raise CommitConflict(f"parent moved: {parent_v} != {expected_parent}")
+        parent_v = self.current_version() if expected_parent is None else expected_parent
+        our_buckets = set(replaced_buckets or set()) | {f["bucket"] for f in added_files}
+        for _ in range(max(rebase_retries, 0) + 1):
+            try:
+                return self._commit_once(
+                    parent_v,
+                    added_files=added_files,
+                    replaced_buckets=replaced_buckets,
+                    schema_fields=schema_fields,
+                    last_applied_batch=last_applied_batch,
+                    lineage_rows=lineage_rows,
+                    props=props,
+                    num_buckets=num_buckets,
+                )
+            except CommitConflict:
+                new_parent = self._rebase_parent(
+                    parent_v, our_buckets, last_applied_batch, num_buckets
+                )
+                if new_parent is None:
+                    raise
+                parent_v = new_parent
+        raise CommitConflict(f"could not commit after {rebase_retries} rebases")
+
+    def _rebase_parent(
+        self,
+        parent_v: int,
+        our_buckets: set[int],
+        last_applied_batch: int | None,
+        num_buckets: int | None,
+    ) -> int | None:
+        """The rebase admissibility check: None = the conflict is real
+        (overlapping buckets / schema or bucket-function change / watermark
+        already advanced past ours), else the new parent version to retry
+        against. O(buckets) — compares the two manifests' summary maps."""
+        try:
+            cur_v = self.current_version()
+        except FileNotFoundError:
+            return None
+        if cur_v <= parent_v:
+            return None  # not a parent race (e.g. a watermark conflict)
+        old_m, cur_m = self.manifest(parent_v), self.manifest(cur_v)
+        if (
+            cur_m["schema_id"] != old_m["schema_id"]
+            or cur_m["num_buckets"] != old_m["num_buckets"]
+            or num_buckets is not None
+        ):
+            return None
+        if (
+            last_applied_batch is not None
+            and cur_m["last_applied_batch"] >= last_applied_batch
+        ):
+            return None
+        ob = old_m.get("buckets", {})
+        cb = cur_m.get("buckets", {})
+        if "buckets" not in old_m or "buckets" not in cur_m:
+            return None  # legacy layout: no cheap per-bucket diff — replay
+        touched = {
+            int(bk)
+            for bk in set(ob) | set(cb)
+            if ob.get(bk, {}).get("path") != cb.get(bk, {}).get("path")
+        }
+        if touched & our_buckets:
+            return None
+        return cur_v
+
+    def _commit_once(
+        self,
+        parent_v: int,
+        *,
+        added_files: list[dict],
+        replaced_buckets: set[int] | None,
+        schema_fields: dict | None,
+        last_applied_batch: int | None,
+        lineage_rows: list[dict] | None,
+        props: dict | None,
+        num_buckets: int | None,
+    ) -> int:
+        if self.current_version() != parent_v:
+            raise CommitConflict(f"parent moved: != {parent_v}")
         m = self.manifest(parent_v)
         new = dict(m)
         new["version"] = parent_v + 1
         new["parent"] = parent_v
         replaced = replaced_buckets or set()
-        carried = self._bucket_entries_migrated(m, exclude=replaced)
+        written_entries: dict[str, list[dict]] = {}
+        carried = self._bucket_entries_migrated(m, exclude=replaced, record=written_entries)
         added_by_bucket: dict[str, list[dict]] = {}
         for f in added_files:
             added_by_bucket.setdefault(str(f["bucket"]), []).append(f)
         new_buckets = dict(carried)
         for bk, entries in added_by_bucket.items():
-            if bk in new_buckets:  # append into a carried bucket (rare path)
+            if bk in new_buckets:  # append into a carried bucket (delta path)
                 entries = self._load_sidecar(new_buckets[bk]["path"]) + entries
+            rel = self._write_sidecar(entries)
+            written_entries[rel] = entries
             new_buckets[bk] = {
-                "path": self._write_sidecar(entries),
+                "path": rel,
                 "n_files": len(entries),
                 "rows": sum(e.get("rows", 0) for e in entries),
                 "bytes": sum(e.get("bytes", 0) for e in entries),
@@ -566,6 +723,15 @@ class Miniberg:
             new["num_buckets"] = num_buckets
             new["bucket_expr"] = f"pmod(xxhash64({m['key_col']}), {num_buckets})"
         self._write_manifest(new["version"], new)
+        # close the sidecar-reuse/GC race: a concurrent gc_orphans that read
+        # a stale mtime just before _write_sidecar's utime refresh can unlink
+        # a REUSED (previously orphaned) sidecar before this CAS landed.
+        # Re-check now that the manifest is durable and recreate from the
+        # in-memory entries (content-addressed -> same path). Carried
+        # sidecars are pinned by the parent manifest, so GC never eats them.
+        for rel, entries in written_entries.items():
+            if not os.path.exists(os.path.join(self.root, rel)):
+                self._write_sidecar(entries)
         if lineage_rows:
             lid = last_applied_batch if last_applied_batch is not None else new["version"]
             with open(os.path.join(self.lineage_dir, f"batch-{lid}.json"), "w") as f:
@@ -609,9 +775,15 @@ class Miniberg:
         ``differ ∘ apply = identity`` is the tested contract)."""
         from recidiviz_data_spark.cdc.differ import snapshot_diff
 
-        old = self.read(spark, version=from_version)
+        # the old snapshot is read under ITS schema, then aligned to
+        # to_version's user schema (null-filling later-added columns) — a
+        # CDF read spanning a schema-evolution boundary must not fail on
+        # the old side lacking the added column
+        new_m = self.manifest(to_version)
+        new_user = self._schema_struct(new_m, new_m["schema_id"], include_internal=False)
+        old = align_to_schema(self.read(spark, version=from_version), new_user)
         new = self.read(spark, version=to_version)
-        key = self.manifest(to_version)["key_col"]
+        key = new_m["key_col"]
         payload = [c for c in new.columns if c != key]
         return snapshot_diff(
             old, new, key=key, payload_cols=payload,
@@ -702,34 +874,42 @@ def gc_unreferenced(
     return removed
 
 
-def _footer_key_range(meta, key_col: str):
-    """(min, max) of ``key_col`` across a parquet file's row groups, from
-    the footer statistics alone. Returns (None, None) when stats are absent
-    or the column is missing — file skipping then conservatively keeps the
-    file. Only str/int keys are recorded (JSON-portable, total-ordered)."""
-    idx = None
-    for i in range(meta.num_columns if meta.num_row_groups else 0):
-        if meta.row_group(0).column(i).path_in_schema == key_col:
-            idx = i
-            break
-    if idx is None:
-        return None, None
-    kmin = kmax = None
-    for g in range(meta.num_row_groups):
-        st = meta.row_group(g).column(idx).statistics
-        if st is None or not st.has_min_max:
-            return None, None
-        mn, mx = st.min, st.max
-        if isinstance(mn, bytes):
-            try:
-                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
-            except UnicodeDecodeError:
-                return None, None
-        if not isinstance(mn, (str, int)):
-            return None, None
-        kmin = mn if kmin is None else min(kmin, mn)
-        kmax = mx if kmax is None else max(kmax, mx)
-    return kmin, kmax
+def _footer_col_ranges(meta) -> dict[str, tuple]:
+    """{column: (min, max)} across a parquet file's row groups, from the
+    footer statistics alone, for every TOP-LEVEL scalar column whose stats
+    decode to str/int (JSON-portable, total-ordered; bools and nested paths
+    like ``tokens.list.element`` are skipped). A column missing stats in any
+    row group is omitted — file skipping then conservatively keeps the
+    file for predicates on it."""
+    if not meta.num_row_groups:
+        return {}
+    out: dict[str, tuple] = {}
+    for i in range(meta.num_columns):
+        col = meta.row_group(0).column(i).path_in_schema
+        if "." in col:
+            continue
+        kmin = kmax = None
+        ok = True
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            if isinstance(mn, bool) or not isinstance(mn, (str, int)):
+                ok = False
+                break
+            kmin = mn if kmin is None else min(kmin, mn)
+            kmax = mx if kmax is None else max(kmax, mx)
+        if ok and kmin is not None:
+            out[col] = (kmin, kmax)
+    return out
 
 
 def _type_from_json(j) -> T.DataType:

@@ -92,6 +92,13 @@ def test_commit_conflict_on_same_parent(tmp_path):
     table = create_empty_table(root, V1_PAYLOAD, num_buckets=4)
     v = table.current_version()
     table.commit(added_files=[], last_applied_batch=0, expected_parent=v)
+    # raw CAS (rebase disabled): the stale parent is detected and raised
+    with pytest.raises(CommitConflict):
+        table.commit(added_files=[], last_applied_batch=1, expected_parent=v,
+                     rebase_retries=0)
+    # default: a bucket-disjoint, watermark-advancing commit auto-rebases
+    assert table.commit(added_files=[], last_applied_batch=1, expected_parent=v) == 2
+    # watermark regress can never rebase
     with pytest.raises(CommitConflict):
         table.commit(added_files=[], last_applied_batch=1, expected_parent=v)
 

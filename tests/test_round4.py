@@ -34,6 +34,166 @@ def test_cdc_workdir_keyed_on_generator_params():
     assert os.path.exists(os.path.join(c2, "_GEN_SUCCESS"))
 
 
+# --------------------------------------------- commit rebase + stats skipping
+def _mk_table(tmp_path, name, num_buckets=4):
+    from pyspark.sql import types as T
+
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("_seq", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    )
+    return Miniberg.create(str(tmp_path / name), schema, num_buckets=num_buckets)
+
+
+def _stage_file(table, bucket, rows):
+    """Stage one parquet file of (doc_id, source, _seq, _deleted) rows into
+    ``bucket`` and return its collected entries (footer stats recorded)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staging = table.staging_dir()
+    bdir = os.path.join(staging, f"_bucket={bucket}")
+    os.makedirs(bdir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows]),
+                "source": pa.array([r[1] for r in rows]),
+                "_seq": pa.array([r[2] for r in rows], type=pa.int64()),
+                "_deleted": pa.array([False] * len(rows)),
+            }
+        ),
+        os.path.join(bdir, "part-0.parquet"),
+    )
+    return table.collect_staged_files(staging, 0)
+
+
+def test_disjoint_bucket_commit_rebase(tmp_path):
+    """Two writers committing to DISJOINT buckets from the same parent both
+    land (the loser auto-rebases); overlapping buckets and watermark
+    movement still conflict."""
+    import pytest
+
+    from recidiviz_data_spark.tables.miniberg import CommitConflict
+
+    table = _mk_table(tmp_path, "t_rebase")
+    v0 = table.current_version()
+    e_b0 = _stage_file(table, 0, [("a", "web", 1)])
+    e_b1 = _stage_file(table, 1, [("b", "web", 1)])
+    assert table.commit(added_files=e_b0, replaced_buckets={0}, expected_parent=v0) == 1
+    # stale parent, disjoint bucket: rebases internally, no caller replay
+    assert table.commit(added_files=e_b1, replaced_buckets={1}, expected_parent=v0) == 2
+    paths = {f["path"] for f in table.files()}
+    assert {e["path"] for e in e_b0 + e_b1} <= paths
+    # overlap: bucket 1 was just touched -> a stale-parent commit to it raises
+    e_b1b = _stage_file(table, 1, [("c", "web", 2)])
+    with pytest.raises(CommitConflict):
+        table.commit(added_files=e_b1b, replaced_buckets={1}, expected_parent=v0)
+    # watermark: once batch 3 is applied, a stale-parent batch-3 commit raises
+    e_b2 = _stage_file(table, 2, [("d", "web", 3)])
+    v3 = table.commit(added_files=e_b2, replaced_buckets={2}, last_applied_batch=3)
+    e_b3 = _stage_file(table, 3, [("e", "web", 4)])
+    with pytest.raises(CommitConflict):
+        table.commit(added_files=e_b3, replaced_buckets={3},
+                     last_applied_batch=3, expected_parent=v3 - 1)
+
+
+def test_secondary_stats_skipping(spark, tmp_path):
+    """Files whose recorded footer min/max exclude the predicate range are
+    not opened: a source='code' read over a table whose 'web' rows live in
+    other files prunes those files at the manifest level AND returns the
+    exact rows."""
+    table = _mk_table(tmp_path, "t_stats")
+    added = []
+    added += _stage_file(table, 0, [(f"w{i}", "web", i) for i in range(5)])
+    added += _stage_file(table, 1, [(f"c{i}", "code", 10 + i) for i in range(5)])
+    added += _stage_file(table, 2, [(f"b{i}", "books", 20 + i) for i in range(5)])
+    table.commit(added_files=added, replaced_buckets=set())
+    files = table.files()
+    assert all("stats" in f and "source" in f["stats"] for f in files)
+
+    kept = table.files_for_stats(files, {"source": ("code", "code")})
+    assert len(kept) == 1 and kept[0]["stats"]["source"] == ["code", "code"]
+    rows = table.read(spark, stats_filter={"source": ("code", "code")}).collect()
+    assert sorted(r["doc_id"] for r in rows) == [f"c{i}" for i in range(5)]
+    # range predicate on _seq: only the middle file survives
+    kept_seq = table.files_for_stats(files, {"_seq": (10, 14)})
+    assert len(kept_seq) == 1
+    # unbounded side + type-mismatch bounds are conservative (no crash)
+    assert len(table.files_for_stats(files, {"source": (None, "code")})) == 2
+    assert len(table.files_for_stats(files, {"source": (5, 7)})) == 3
+
+    # a bucket with delta files is never pruned (MOR resolution needs base)
+    files_d = [dict(f) for f in files]
+    files_d[0]["kind"] = "delta"
+    assert len(table.files_for_stats(files_d, {"source": ("code", "code")})) == 2
+
+
+def test_files_for_keys_type_guard(tmp_path):
+    """Mismatched key type vs recorded stats raises a clear ValueError
+    instead of a bare TypeError mid-comparison."""
+    import pytest
+
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    table = _mk_table(tmp_path, "t_guard")
+    added = _stage_file(table, 0, [("a", "web", 1)])
+    table.commit(added_files=added, replaced_buckets=set())
+    with pytest.raises(ValueError, match="recorded stats type"):
+        Miniberg.files_for_keys(table.files(), [42])
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """CDF read spanning a schema-evolution boundary: the old snapshot lacks
+    the later-added column; table_changes must null-fill it, not raise."""
+    from pyspark.sql import types as T
+
+    table = _mk_table(tmp_path, "t_cdf")
+    added = _stage_file(table, 0, [("a", "web", 1), ("b", "web", 2)])
+    v1 = table.commit(added_files=added, replaced_buckets=set())
+    # evolve: add a column, then write a file carrying it
+    new_fields, changed = table.evolve_schema(
+        T.StructType([T.StructField("lang", T.StringType(), True)])
+    )
+    assert changed
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staging = table.staging_dir()
+    os.makedirs(os.path.join(staging, "_bucket=0"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(["a", "c"]),
+                "source": pa.array(["web", "code"]),
+                "lang": pa.array(["en", "fr"]),
+                "_seq": pa.array([3, 4], type=pa.int64()),
+                "_deleted": pa.array([False, False]),
+            }
+        ),
+        os.path.join(staging, "_bucket=0", "part-0.parquet"),
+    )
+    v2 = table.commit(
+        added_files=table.collect_staged_files(staging, 1),
+        replaced_buckets={0},
+        schema_fields=new_fields,
+    )
+    ev = {r["doc_id"]: r for r in table.table_changes(spark, v1, v2).collect()}
+    assert ev["c"]["op"] == "I" and ev["c"]["lang"] == "fr"
+    assert ev["a"]["op"] == "U" and ev["a"]["lang"] == "en"  # null -> 'en'
+    assert ev["b"]["op"] == "D"
+
+
 # ------------------------------------------------------- merge-on-read (MOR)
 V1_PAYLOAD = None  # built lazily (pyspark types import inside fixtures)
 
