@@ -225,6 +225,7 @@ def apply_batch(
     decision_prune: bool | str = "auto",
     mor: bool | str = "auto",
     mor_max_changed_fraction: float = 0.05,
+    bloom_ndv: int | None = None,
 ) -> list[dict]:
     """MERGE one changelog batch into the table. Exactly-once: a batch_id at
     or below the committed watermark is a no-op. Returns lineage rows.
@@ -482,7 +483,19 @@ def apply_batch(
                 # unshuffled (their files are bucket-pure); only winners shuffle
                 rewrite = kept.unionByName(upserts.repartition(n_out, BUCKET))
             staging = table.staging_dir()
-            rewrite.write.partitionBy(BUCKET).parquet(staging)
+            writer = rewrite.write
+            if bloom_ndv:
+                # parquet-native bloom filter on the key column — row-group
+                # skipping for point lookups whose key falls inside a file's
+                # wide min/max range (hash-distributed keys overlap ranges on
+                # uncompacted buckets). Off by default: a bloom sized for
+                # ``bloom_ndv`` distinct keys costs ~1.2 bytes/key per file,
+                # which only pays once files carry ~10^5+ rows (the lake
+                # shape, not the demo shape). Size ndv to rows-per-file.
+                writer = writer.option(
+                    "parquet.bloom.filter.enabled#doc_id", "true"
+                ).option("parquet.bloom.filter.expected.ndv#doc_id", str(bloom_ndv))
+            writer.partitionBy(BUCKET).parquet(staging)
             schema_id = m["schema_id"] + (1 if schema_changed else 0)
             added = table.collect_staged_files(staging, schema_id)
             for e in added:

@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mor-threshold", type=float, default=0.05,
                    help="max changed-row fraction for a bucket to take the "
                         "delta path under --mor auto")
+    p.add_argument("--bloom-ndv", type=int, default=None,
+                   help="write a parquet bloom filter on the key column "
+                        "sized for this many distinct keys per file "
+                        "(lake-scale point-lookup skipping; off by default)")
     p.add_argument("--split-buckets-factor", type=int, default=None,
                    help="re-bucket the table N -> factor*N after applying "
                         "(shuffle-free map-only rewrite; the growth path)")
@@ -102,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         max_invalid_ratio=args.max_invalid_ratio,
         mor={"auto": "auto", "on": True, "off": False}[args.mor],
         mor_max_changed_fraction=args.mor_threshold,
+        bloom_ndv=args.bloom_ndv,
     )
     wall = time.monotonic() - t0
 

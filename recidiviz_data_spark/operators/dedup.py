@@ -252,15 +252,19 @@ def d_minhash_lsh(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.h_lo", "bs.h_hi")
     # candidate budget: drop band buckets larger than the cap BEFORE the pair
-    # join (see MINHASH_BAND_CAP). The hot-bucket list is provably small
-    # (each hot bucket accounts > cap docs), so it broadcast-anti-joins.
-    hot = (
-        bands.groupBy("band", "h_lo", "h_hi")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > band_cap)
-        .select("band", "h_lo", "h_hi")
+    # join (see MINHASH_BAND_CAP). A whole-partition window count computes
+    # bucket sizes in the SAME single pass (no second evaluation of the
+    # signature pipeline, unlike a groupBy+anti-join), and its shuffle
+    # CO-LOCATES the band key — the self-join below reuses that exchange.
+    from pyspark.sql.window import Window as _W
+
+    bands = (
+        bands.withColumn(
+            "_c", F.count("*").over(_W.partitionBy("band", "h_lo", "h_hi"))
+        )
+        .filter(F.col("_c") <= band_cap)
+        .drop("_c")
     )
-    bands = bands.join(F.broadcast(hot), ["band", "h_lo", "h_hi"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -373,13 +377,14 @@ def d_simhash_banded(spark, sf_dir, band_cap=SIMHASH_BAND_CAP):
     # of identical signatures must not turn one band bucket quadratic. A
     # dropped pair is only LOST if every one of its >= 2 agreeing bands is
     # hot — the pigeonhole guarantee degrades gracefully under the cap.
-    hot = (
-        bandrows.groupBy("band", "bits")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > band_cap)
-        .select("band", "bits")
+    # Single-pass window count (same co-located exchange the join reuses).
+    from pyspark.sql.window import Window as _W
+
+    bandrows = (
+        bandrows.withColumn("_c", F.count("*").over(_W.partitionBy("band", "bits")))
+        .filter(F.col("_c") <= band_cap)
+        .drop("_c")
     )
-    bandrows = bandrows.join(F.broadcast(hot), ["band", "bits"], "left_anti")
     a, b = bandrows.alias("a"), bandrows.alias("b")
     cand = (
         a.join(
@@ -533,6 +538,82 @@ def x_neardup_clusters(spark, sf_dir, docs=None):
             "cluster_size",
         )
     )
+
+
+SPAN_LEN = 8  # words per span for substring-level dedup
+
+
+@_qx(
+    "x_span_dedup",
+    f"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents),
+    grams AS (SELECT doc_id, i,
+                     {PHASH_SQL.format(x=f"array_to_string(w[i:i+{SPAN_LEN - 1}], ' ')")} AS h
+              FROM words,
+                   UNNEST(generate_series(1, greatest(len(w)-{SPAN_LEN - 1}, 0))) t(i)),
+    dup AS (SELECT doc_id, i FROM (
+              SELECT doc_id, i,
+                     MIN(doc_id) OVER (PARTITION BY h) AS mn,
+                     MAX(doc_id) OVER (PARTITION BY h) AS mx
+              FROM grams)
+            WHERE mn <> mx),
+    cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS dup_words
+            FROM dup, UNNEST(generate_series(i, i + {SPAN_LEN - 1})) p(pos)
+            GROUP BY doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM dup GROUP BY doc_id)
+    SELECT c.doc_id, CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST(dup_words AS BIGINT) AS dup_words
+    FROM cnt c JOIN cov USING (doc_id)
+    """,
+)
+def x_span_dedup(spark, sf_dir, docs=None):
+    """Substring-level exact dedup (the Lee et al. "deduplicating training
+    data" shape, word-granularity): every sliding SPAN_LEN-word span is
+    hashed; spans appearing in MORE THAN ONE doc mark their word positions
+    as duplicated. Output per affected doc: number of cross-doc duplicated
+    span occurrences and the count of word positions they cover — the
+    removal mask a training pipeline would cut.
+
+    Scale shape: posexplode to (doc, pos, span-hash) rows is LINEAR in
+    corpus words; cross-doc detection is min!=max(doc) over a hash-
+    partitioned window (one shuffle, no pair join, no quadratic term);
+    coverage re-explodes only DUPLICATED spans by the constant SPAN_LEN."""
+    d = (docs if docs is not None else load(spark, sf_dir, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from pyspark.sql.window import Window as _W
+
+    words = F.split(F.trim("text"), r"\s+")
+    # guard: sequence(1, n) is DESCENDING for n < 1 (same trap as _shingles)
+    grams = F.when(
+        F.size(words) >= SPAN_LEN,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (SPAN_LEN - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.concat_ws(" ", F.slice(words, i, SPAN_LEN)).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,span:string>>"))
+    g = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.i", phash(F.col("g.span")).alias("h"))
+    )
+    w = _W.partitionBy("h")
+    dup = (
+        g.withColumn("mn", F.min("doc_id").over(w))
+        .withColumn("mx", F.max("doc_id").over(w))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "i")
+    )
+    cov = (
+        dup.select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (SPAN_LEN - 1))).alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("dup_words"))
+    )
+    cnt = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
+    return cnt.join(cov, "doc_id").select("doc_id", "n_dup_spans", "dup_words")
 
 
 @_qx(

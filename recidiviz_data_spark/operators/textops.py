@@ -347,26 +347,54 @@ def x_subword_bpe(spark, sf_dir):
         ranks, pairs = bc.value
         memo: dict[str, int] = {}
 
+        import heapq
+
         def word_count(w: str) -> int:
+            """Heap + linked-list BPE merge, O(L log L) per distinct word
+            (the naive rescan-per-merge form is O(L^2·merges) — it showed up
+            in the round-3 review). Semantics identical to the oracle's
+            recursive CTE: repeatedly merge the LEFTMOST occurrence of the
+            best-rank pair. The heap orders by (rank, position); positions
+            are stable leftmost-char indices, so the min entry IS the
+            best-rank leftmost pair; stale entries (a side changed by an
+            earlier merge) fail the rank re-check and are skipped — every
+            merge pushes fresh entries for its new neighbor pairs, so all
+            live pairs stay represented."""
             n = memo.get(w)
             if n is not None:
                 return n
-            toks = list(w)
-            while True:
-                best = None
-                for i in range(len(toks) - 1):
-                    r = ranks.get((toks[i], toks[i + 1]))
-                    if r is not None and (best is None or r < best):
-                        best = r
-                if best is None:
-                    break
-                x, y = pairs[best]
-                for i in range(len(toks) - 1):  # leftmost occurrence only
-                    if toks[i] == x and toks[i + 1] == y:
-                        toks[i : i + 2] = [x + y]
-                        break
-            memo[w] = len(toks)
-            return memo[w]
+            n0 = len(w)
+            tok = list(w)
+            nxt = list(range(1, n0)) + [-1]
+            prv = [-1] + list(range(n0 - 1))
+            alive = [True] * n0
+            heap = [
+                (r, i)
+                for i in range(n0 - 1)
+                if (r := ranks.get((tok[i], tok[i + 1]))) is not None
+            ]
+            heapq.heapify(heap)
+            count = n0
+            while heap:
+                r, i = heapq.heappop(heap)
+                if not alive[i]:
+                    continue
+                j = nxt[i]
+                if j == -1 or ranks.get((tok[i], tok[j])) != r:
+                    continue  # stale entry: this pair changed since push
+                tok[i] += tok[j]
+                alive[j] = False
+                nxt[i] = nxt[j]
+                if nxt[i] != -1:
+                    prv[nxt[i]] = i
+                count -= 1
+                p = prv[i]
+                if p != -1 and (rp := ranks.get((tok[p], tok[i]))) is not None:
+                    heapq.heappush(heap, (rp, p))
+                if nxt[i] != -1 and (rn := ranks.get((tok[i], tok[nxt[i]]))) is not None:
+                    heapq.heappush(heap, (rn, i))
+            memo[w] = count
+            return count
 
         import re
 

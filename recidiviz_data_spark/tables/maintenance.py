@@ -35,6 +35,7 @@ def compact(
     min_files: int = 2,
     tombstone_horizon: int | None = None,
     sort: bool = True,
+    bloom_ndv: int | None = None,
 ) -> int | None:
     """Rewrite buckets holding >= min_files files into one file each.
     Optionally drops tombstones with _seq <= tombstone_horizon. Returns the
@@ -65,7 +66,16 @@ def compact(
     if sort:
         out = out.sortWithinPartitions("_bucket", m["key_col"])
     staging = table.staging_dir()
-    out.write.partitionBy("_bucket").parquet(staging)
+    writer = out.write
+    if bloom_ndv:
+        # key-column bloom on compacted files (see apply.py for sizing) —
+        # compaction is where files get big enough for blooms to pay
+        writer = writer.option(
+            "parquet.bloom.filter.enabled#" + m["key_col"], "true"
+        ).option(
+            "parquet.bloom.filter.expected.ndv#" + m["key_col"], str(bloom_ndv)
+        )
+    writer.partitionBy("_bucket").parquet(staging)
     added = table.collect_staged_files(staging, m["schema_id"])
     return table.commit(
         added_files=added,

@@ -334,6 +334,55 @@ def test_mor_write_amplification(spark, tmp_path):
     assert (a.tokens.map(tuple) == b.tokens.map(tuple)).all()
 
 
+def test_bloom_filter_written_and_reads_exact(spark, tmp_path):
+    """bloom_ndv writes a parquet-native bloom on the key column (file grows
+    by the bloom bytes); point lookups stay exact. Compaction can add blooms
+    too."""
+    from recidiviz_data_spark.cdc.apply import apply_batch, create_empty_table
+    from recidiviz_data_spark.tables.maintenance import compact
+
+    batch = spark.createDataFrame(
+        [(i, "I", f"doc_{i:08d}", [1, 2], 2, "web") for i in range(2000)],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    t1 = create_empty_table(str(tmp_path / "t_bloom"), _v1_payload(), num_buckets=2)
+    t2 = create_empty_table(str(tmp_path / "t_plain"), _v1_payload(), num_buckets=2)
+    apply_batch(spark, t1, batch, 0, bloom_ndv=2000)
+    apply_batch(spark, t2, batch, 0)
+    b1 = sum(f["bytes"] for f in t1.files())
+    b2 = sum(f["bytes"] for f in t2.files())
+    assert b1 > b2 + 1000, (b1, b2)  # bloom bytes actually landed
+    got = t1.read_keys(spark, ["doc_00000042"]).collect()
+    assert len(got) == 1 and got[0]["n_tok"] == 2
+    assert compact(spark, t2, min_files=1, bloom_ndv=2000) is not None
+    b2c = sum(f["bytes"] for f in t2.files())
+    assert b2c > b2 + 1000, (b2c, b2)
+    assert t2.read_keys(spark, ["doc_00000042"]).count() == 1
+
+
+def test_span_dedup_planted(spark):
+    """Two docs sharing one 8-word run (plus unique tails) are both flagged
+    with exactly the shared span's occurrences and coverage; a doc with no
+    cross-doc span is absent."""
+    from recidiviz_data_spark.operators.dedup import x_span_dedup
+
+    shared = "one two three four five six seven eight nine"  # 9 words: 2 spans
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " aa bb cc"),
+            (2, "xx yy " + shared),
+            (3, "totally unrelated words that never repeat anywhere else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in x_span_dedup(spark, "", docs=docs).collect()}
+    assert set(rows) == {1, 2}
+    # 9-word shared run = 2 sliding 8-word spans, covering 9 word positions
+    assert rows[1]["n_dup_spans"] == 2 and rows[1]["dup_words"] == 9
+    assert rows[2]["n_dup_spans"] == 2 and rows[2]["dup_words"] == 9
+
+
 def test_band_cap_bounds_identical_signature_flood(spark):
     """A flood of identical docs makes every band bucket quadratic; the
     band cap must bound candidate pairs (dropped bucket => zero pairs from
