@@ -413,6 +413,7 @@ def apply_batch(
         added: list[dict] = []
         changed_buckets: set[int] = set()
         cow_buckets: set[int] = set()
+        mor_buckets: set[int] = set()
         if n_changed:
             # ---- pass 3: copy-on-write rewrite — ONLY buckets that actually
             # changed (a stale-heavy replay batch may touch every bucket with
@@ -442,7 +443,6 @@ def apply_batch(
             # (file count >= compact_files_per_bucket) folds them back into
             # base files, bounding delta depth. A compacting batch writes
             # everything COW (the rewrite is already full-bucket).
-            mor_buckets: set[int] = set()
             if mor and not need_compact:
                 for b in changed_buckets:
                     s = bucket_summ.get(b)
@@ -509,18 +509,19 @@ def apply_batch(
             r = dec_metrics[b]
             g = lambda k: r.get(k) or 0
             losers = g("events_in") - g("invalid") - g("winners")
-            lineage.append(
-                {
-                    "batch_id": batch_id,
-                    "bucket": b,
-                    "events_in": int(g("events_in")),
-                    "applied": int(g("applied")),
-                    "deleted": int(g("deleted")),
-                    "skipped_stale": int(g("stale_winners") + losers),
-                    "invalid": int(g("invalid")),
-                    "wall_ms": wall_ms,
-                }
-            )
+            row = {
+                "batch_id": batch_id,
+                "bucket": b,
+                "events_in": int(g("events_in")),
+                "applied": int(g("applied")),
+                "deleted": int(g("deleted")),
+                "skipped_stale": int(g("stale_winners") + losers),
+                "invalid": int(g("invalid")),
+                "wall_ms": wall_ms,
+            }
+            if b in changed_buckets:  # write-mode observability (delta depth
+                row["write_mode"] = "mor" if b in mor_buckets else "cow"  # audits)
+            lineage.append(row)
 
         table.commit(
             added_files=added,

@@ -617,6 +617,99 @@ def x_span_dedup(spark, sf_dir, docs=None):
 
 
 @_qx(
+    "x_span_scrub",
+    f"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents),
+    grams AS (SELECT doc_id, i,
+                     {PHASH_SQL.format(x=f"array_to_string(w[i:i+{SPAN_LEN - 1}], ' ')")} AS h
+              FROM words,
+                   UNNEST(generate_series(1, greatest(len(w)-{SPAN_LEN - 1}, 0))) t(i)),
+    dup AS (SELECT doc_id, i FROM (
+              SELECT doc_id, i,
+                     MIN(doc_id) OVER (PARTITION BY h) AS mn,
+                     MAX(doc_id) OVER (PARTITION BY h) AS mx
+              FROM grams)
+            WHERE mn <> mx),
+    cut AS (SELECT DISTINCT doc_id, pos
+            FROM dup, UNNEST(generate_series(i, i + {SPAN_LEN - 1})) p(pos)),
+    wpos AS (SELECT doc_id, pos, w[pos] AS word
+             FROM words, UNNEST(generate_series(1, len(w))) t(pos)),
+    kept AS (SELECT wp.doc_id, wp.pos, wp.word FROM wpos wp
+             WHERE NOT EXISTS (SELECT 1 FROM cut
+                               WHERE cut.doc_id = wp.doc_id AND cut.pos = wp.pos)),
+    cleaned AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+    nwords AS (SELECT doc_id, len(w) AS nw FROM words)
+    SELECT n.doc_id, COALESCE(c.clean_text, '') AS clean_text,
+           CAST(n.nw - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+    FROM nwords n LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def x_span_scrub(spark, sf_dir, docs=None):
+    """Stage 2 of substring dedup: actually CUT the cross-doc duplicated
+    spans out of the text (x_span_dedup reports the mask; this applies it).
+    Every doc comes back with its masked word positions removed and
+    whitespace normalized — the corpus a training pipeline would keep.
+
+    Scale shape stays linear: dup positions come from the same single
+    hash-partitioned window; the cut is an anti-join on (doc, pos); text
+    reassembly is a per-doc sort of kept (pos, word) structs — partitioned
+    by doc_id, never global."""
+    d = (docs if docs is not None else load(spark, sf_dir, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from pyspark.sql.window import Window as _W
+
+    words = F.split(F.trim("text"), r"\s+")
+    grams = F.when(
+        F.size(words) >= SPAN_LEN,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (SPAN_LEN - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.concat_ws(" ", F.slice(words, i, SPAN_LEN)).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,span:string>>"))
+    g = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.i", phash(F.col("g.span")).alias("h"))
+    )
+    w = _W.partitionBy("h")
+    dup = (
+        g.withColumn("mn", F.min("doc_id").over(w))
+        .withColumn("mx", F.max("doc_id").over(w))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "i")
+    )
+    cut = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (SPAN_LEN - 1))).alias("pos")
+    ).distinct()
+    wpos = d.select(
+        "doc_id", F.posexplode(words).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    kept = wpos.join(cut, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    nwords = d.select("doc_id", F.size(words).alias("nw"))
+    return nwords.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("nw") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+    )
+
+
+@_qx(
     "x_incremental_dedup",
     f"""
     WITH ex AS (SELECT DISTINCT {PHASH_SQL.format(x="lower(trim(text))")} AS h

@@ -36,6 +36,7 @@ def compact(
     tombstone_horizon: int | None = None,
     sort: bool = True,
     bloom_ndv: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> int | None:
     """Rewrite buckets holding >= min_files files into one file each.
     Optionally drops tombstones with _seq <= tombstone_horizon. Returns the
@@ -44,7 +45,14 @@ def compact(
     ``sort`` orders rows by the table key within each bucket file (Iceberg's
     sorted-rewrite): parquet row-group min/max stats then let key point
     lookups skip row groups inside a bucket — the hot apply path stays
-    unsorted (write latency first; compaction restores order)."""
+    unsorted (write latency first; compaction restores order).
+
+    ``max_records_per_file`` caps file size (a lake-scale bucket compacted
+    to ONE multi-GB file defeats scan parallelism). Combined with ``sort``,
+    the sequential split gives each file a DISJOINT key range, so the
+    manifest's key_min/key_max stats prune point lookups to a single file
+    per bucket — the skipping story key-range stats cannot deliver on
+    unsorted hash-distributed writes."""
     m = table.manifest()
     per_bucket = {
         b: s["n_files"] for b, s in Miniberg.bucket_summaries(m).items()
@@ -67,6 +75,8 @@ def compact(
         out = out.sortWithinPartitions("_bucket", m["key_col"])
     staging = table.staging_dir()
     writer = out.write
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if bloom_ndv:
         # key-column bloom on compacted files (see apply.py for sizing) —
         # compaction is where files get big enough for blooms to pay

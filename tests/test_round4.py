@@ -383,6 +383,63 @@ def test_span_dedup_planted(spark):
     assert rows[2]["n_dup_spans"] == 2 and rows[2]["dup_words"] == 9
 
 
+def test_span_scrub_planted(spark):
+    """The scrub stage cuts exactly the masked positions: docs sharing a
+    9-word run lose those 9 words, unique tails survive, untouched docs
+    come back whitespace-normalized with n_removed=0."""
+    from recidiviz_data_spark.operators.dedup import x_span_scrub
+
+    shared = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " aa bb cc"),
+            (2, "xx yy " + shared),
+            (3, "unique  words   with\todd spacing"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in x_span_scrub(spark, "", docs=docs).collect()}
+    assert rows[1]["clean_text"] == "aa bb cc" and rows[1]["n_removed"] == 9
+    assert rows[2]["clean_text"] == "xx yy" and rows[2]["n_removed"] == 9
+    assert rows[3]["clean_text"] == "unique words with odd spacing"
+    assert rows[3]["n_removed"] == 0
+
+
+def test_compact_sized_files_disjoint_key_ranges(spark, tmp_path):
+    """compact(max_records_per_file=N, sort=True) splits a bucket into
+    size-capped files whose key ranges are DISJOINT — a point lookup then
+    opens exactly one file of the bucket."""
+    from recidiviz_data_spark.cdc.apply import apply_batch, create_empty_table
+    from recidiviz_data_spark.tables.maintenance import compact
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    table = create_empty_table(str(tmp_path / "t_sized"), _v1_payload(), num_buckets=2)
+    batch = spark.createDataFrame(
+        [(i, "I", f"doc_{i:08d}", [1], 1, "web") for i in range(1200)],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    apply_batch(spark, table, batch, 0)
+    assert compact(spark, table, min_files=1, max_records_per_file=200) is not None
+    by_bucket: dict[int, list] = {}
+    for f in table.files():
+        by_bucket.setdefault(f["bucket"], []).append(f)
+    for b, fs in by_bucket.items():
+        assert len(fs) >= 2, (b, fs)  # the size cap actually split
+        ranges = sorted((f["key_min"], f["key_max"]) for f in fs)
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, (b, ranges)  # disjoint
+    # point lookup prunes to ONE file of the key's bucket
+    key = "doc_00000042"
+    m = table.manifest()
+    bucket = spark.createDataFrame([(key,)], "doc_id string").selectExpr(
+        f"CAST(pmod(xxhash64(doc_id), {m['num_buckets']}) AS INT) b"
+    ).collect()[0]["b"]
+    kept = Miniberg.files_for_keys(table.files(buckets=[bucket]), [key])
+    assert len(kept) == 1
+    assert table.read_keys(spark, [key]).count() == 1
+
+
 def test_band_cap_bounds_identical_signature_flood(spark):
     """A flood of identical docs makes every band bucket quadratic; the
     band cap must bound candidate pairs (dropped bucket => zero pairs from
@@ -441,6 +498,43 @@ def test_connected_components_planted_chain(spark):
     assert got[10] == got[11] == 10
     # 21-node chain: all collapse to the min label despite diameter 20
     assert all(got[i] == 100 for i in range(100, 121))
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized equivalence: the DataFrame label-propagation result must
+    equal a driver-side union-find on seeded random graphs (cycles, stars,
+    chains, isolated pairs all arise at these densities)."""
+    import random
+
+    from recidiviz_data_spark.operators.dedup import connected_components
+
+    for seed, n, m in ((1, 60, 40), (2, 80, 120), (3, 50, 25)):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        expected = {x: find(x) for x in nodes}
+        # canonical: min node per component
+        comp_min: dict[int, int] = {}
+        for x, r in expected.items():
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expected = {x: comp_min[find(x)] for x in nodes}
+
+        df = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {r["node"]: r["cluster_id"] for r in connected_components(spark, df).collect()}
+        assert got == expected, (seed, {k: (got.get(k), expected[k]) for k in expected if got.get(k) != expected[k]})
 
 
 def test_neardup_clusters_planted(spark):
