@@ -227,6 +227,25 @@ def d_minhash_lsh(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
     Signatures are built over the DF-capped shingle set: a corpus-wide
     boilerplate shingle would otherwise pin the same minhash on huge doc
     groups and recreate the quadratic band bucket."""
+    bands = _minhash_bands(spark, sf_dir, docs=docs, band_cap=band_cap)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h_lo") == F.col("b.h_lo"))
+            & (F.col("a.h_hi") == F.col("b.h_hi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def _minhash_bands(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
+    """(doc_id, band, h_lo, h_hi) LSH band rows over the DF-capped shingle
+    set, oversize band buckets dropped — the minhash INDEX a corpus would
+    materialize once and probe incrementally."""
     sh = _shingles_capped(spark, sf_dir, docs=docs).withColumn(
         "h", F.pmod(phash(F.col("shingle")), F.lit(LSH_P))
     )
@@ -258,23 +277,46 @@ def d_minhash_lsh(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
     # CO-LOCATES the band key — the self-join below reuses that exchange.
     from pyspark.sql.window import Window as _W
 
-    bands = (
+    return (
         bands.withColumn(
             "_c", F.count("*").over(_W.partitionBy("band", "h_lo", "h_hi"))
         )
         .filter(F.col("_c") <= band_cap)
         .drop("_c")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+
+
+@_qx(
+    "x_incremental_neardup",
+    f"""
+    WITH {_SHINGLES_CAPPED_SQL},
+    {_MINHASH_SQL}
+    SELECT b.doc_id AS new_doc, a.doc_id AS corpus_doc, COUNT(*) AS n_bands_shared
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+     AND a.doc_id < 250 AND b.doc_id >= 250
+    GROUP BY 1, 2
+    """,
+)
+def x_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup detection — the shape a streaming ingest runs
+    after exact dedup: the ingested corpus' minhash band rows are a
+    materialized INDEX (built once, by `_minhash_bands`); each incoming
+    batch computes only ITS OWN band rows and equi-joins them against the
+    index — at 100 TB the probe side is the small new batch (AQE broadcasts
+    it), the index is partitioned by band key, and no corpus self-join ever
+    runs again. Demo split: docs 0-249 = corpus index, 250+ = incoming."""
+    bands = _minhash_bands(spark, sf_dir)
+    idx = bands.filter(F.col("doc_id") < 250).alias("a")
+    probe = bands.filter(F.col("doc_id") >= 250).alias("b")
     return (
-        a.join(
-            b,
+        idx.join(
+            probe,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.h_lo") == F.col("b.h_lo"))
-            & (F.col("a.h_hi") == F.col("b.h_hi"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.h_hi") == F.col("b.h_hi")),
         )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy(F.col("b.doc_id").alias("new_doc"), F.col("a.doc_id").alias("corpus_doc"))
         .agg(F.count("*").alias("n_bands_shared"))
     )
 

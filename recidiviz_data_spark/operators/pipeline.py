@@ -29,10 +29,10 @@ CHUNK_LEN = 50  # words per chunk
 CHUNK_STRIDE = 40  # 10-word overlap
 
 
-@_qx(
-    "x_token_shard_packing",
-    f"""
-    WITH d AS (SELECT doc_id, n_chars, doc_id // {PACK_BUCKET} AS b FROM documents),
+# the two-phase running-sum packing over a CTE named ``src`` (doc_id,
+# n_chars) — shared by the plain packing oracle and the composed pipeline
+_PACK_SQL = f"""
+    d AS (SELECT doc_id, n_chars, doc_id // {PACK_BUCKET} AS b FROM src),
     wb AS (SELECT doc_id, n_chars, b,
                   SUM(n_chars) OVER (PARTITION BY b ORDER BY doc_id
                                      ROWS UNBOUNDED PRECEDING) AS cum_in_b
@@ -46,12 +46,24 @@ CHUNK_STRIDE = 40  # 10-word overlap
     assigned AS (SELECT doc_id, n_chars,
                         (gcum - n_chars) // {SHARD_BUDGET_CHARS} AS shard_id
                  FROM g)
+"""
+
+_SHARD_SUMMARY_SQL = """
     SELECT CAST(shard_id AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM assigned GROUP BY 1
+"""
+
+
+@_qx(
+    "x_token_shard_packing",
+    f"""
+    WITH src AS (SELECT doc_id, n_chars FROM documents),
+    {_PACK_SQL}
+    {_SHARD_SUMMARY_SQL}
     """,
 )
 def x_token_shard_packing(spark, sf_dir):
@@ -65,7 +77,13 @@ def x_token_shard_packing(spark, sf_dir):
     (all buckets in parallel); phase 2 prefix-sums the tiny per-bucket
     totals (rows = n_docs / PACK_BUCKET) and broadcasts the offsets back.
     At 100 TB the offset table is still only ~10^6 rows of two longs."""
-    d = load(spark, sf_dir, "documents").select(
+    return _shard_summary(assign_shards(load(spark, sf_dir, "documents")))
+
+
+def assign_shards(d):
+    """(doc_id, n_chars, ...) -> (doc_id, n_chars, shard_id): the two-phase
+    distributed running sum (see x_token_shard_packing docstring)."""
+    d = d.select(
         "doc_id", "n_chars",
         # floor, not cast: Spark cast(double AS long) truncates toward zero,
         # DuckDB // floors — identical only because doc_id >= 0; floor keeps
@@ -86,16 +104,60 @@ def x_token_shard_packing(spark, sf_dir):
     g = wb.join(F.broadcast(boff), "b").withColumn(
         "gcum", F.col("off") + F.col("cum_in_b")
     )
-    assigned = g.withColumn(
+    return g.withColumn(
         "shard_id",
         F.floor((F.col("gcum") - F.col("n_chars")) / SHARD_BUDGET_CHARS),
     )
+
+
+def _shard_summary(assigned):
     return assigned.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("shard_chars"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@_qx(
+    "x_corpus_pipeline",
+    f"""
+    WITH keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                     GROUP BY {PHASH_SQL.format(x="lower(trim(text))")}),
+    q AS (SELECT d.doc_id, d.n_chars,
+                 len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_words
+          FROM documents d JOIN keepers USING (doc_id)),
+    src AS (SELECT doc_id, n_chars FROM q WHERE n_words >= 25),
+    {_PACK_SQL}
+    {_SHARD_SUMMARY_SQL}
+    """,
+)
+def x_corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus preparation in ONE declarative plan — the composed
+    shape a real training pipeline runs nightly: exact dedup (content-hash
+    keepers) -> quality gate (drop 'low' docs, < 25 words) -> pack survivors
+    into ~budget-sized training shards (two-phase distributed running sum).
+    Each stage is the already-verified operator (d_exact_dedup /
+    t_quality_score / x_token_shard_packing) composed as DataFrame algebra,
+    so Catalyst fuses the whole thing: one scan of documents feeds the hash
+    groupBy; the keeper semi-join and word-count filter run before any
+    packing shuffle."""
+    from recidiviz_data_spark.operators.textops import phash
+
+    d = load(spark, sf_dir, "documents")
+    keepers = (
+        d.groupBy(phash(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    words = F.split(F.trim("text"), r"\s+")
+    kept = (
+        d.join(keepers, "doc_id", "left_semi")
+        .withColumn("n_words", F.size(words))
+        .filter(F.col("n_words") >= 25)
+        .select("doc_id", "n_chars")
+    )
+    return _shard_summary(assign_shards(kept))
 
 
 _SAMPLE_CASE = " ".join(

@@ -106,6 +106,48 @@ def e_cosine_neardup(spark, sf_dir):
     )
 
 
+@_qx(
+    "x_embedding_clusters",
+    f"""
+    WITH RECURSIVE {_SCALED_SQL},
+    prs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+            FROM iv a JOIN iv b ON a.vec_id < b.vec_id
+            WHERE {_COS_SQL} >= 0.4),
+    edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION ALL SELECT d2, d1 FROM prs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper FROM (
+      SELECT vec_id, cluster_id FROM comp
+      UNION ALL
+      SELECT e.vec_id, e.vec_id FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM comp))
+    """,
+)
+def x_embedding_clusters(spark, sf_dir):
+    """Embedding-space duplicate clusters: cosine near-dup pairs (>= 0.4)
+    collapsed by the SAME connected-components engine the text dedup uses
+    (operators/dedup.py::connected_components) — keeper = min vec_id,
+    singletons included, so filter(is_keeper) dedups the embedding corpus.
+    At scale the edge set comes from the LSH-bucketed candidate generator
+    instead of this brute-force verifier; the clustering pass is identical."""
+    from recidiviz_data_spark.operators.dedup import connected_components
+
+    pairs = e_cosine_neardup(spark, sf_dir).select("v1", "v2")
+    comp = connected_components(spark, pairs, "v1", "v2")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    singles = emb.join(
+        comp.select(F.col("node").alias("vec_id")), "vec_id", "left_anti"
+    ).withColumn("cluster_id", F.col("vec_id"))
+    allc = comp.select(F.col("node").alias("vec_id"), "cluster_id").unionByName(singles)
+    return allc.select(
+        "vec_id", "cluster_id", (F.col("vec_id") == F.col("cluster_id")).alias("is_keeper")
+    )
+
+
 @_q(
     "e_ann_topk",
     f"""
