@@ -524,9 +524,12 @@ def connected_components(spark, edges, src: str = "d1", dst: str = "d2",
         )
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:
-            break
+            return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
         prev_sum = new_sum
-    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+    # pointer jumping converges in O(log n) rounds; with max_iter=30 this
+    # fires only on a logic regression — returning unconverged labels would
+    # silently under-merge clusters, so fail loudly instead
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
 @_qx(

@@ -492,6 +492,7 @@ class Miniberg:
         version: int | None = None,
         *,
         include_internal: bool = False,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Point/multi-key lookup with two-stage FILE skipping: hash the
         keys to their buckets (reads only those buckets' sidecars), then
@@ -516,8 +517,19 @@ class Miniberg:
             .collect()
         )
         files = self.files_for_keys(self.files(buckets=buckets, manifest=m), keys)
+        if stats_filter:
+            # secondary-predicate pruning composes with key skipping (the
+            # delta-bucket conservatism in files_for_stats still applies)
+            files = self.files_for_stats(files, stats_filter)
         out = self._read_files(spark, m, files, include_internal=include_internal)
-        return out.filter(F.col(key_col).isin(keys))
+        out = out.filter(F.col(key_col).isin(keys))
+        if stats_filter:
+            for col, (lo, hi) in stats_filter.items():
+                if lo is not None:
+                    out = out.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(col) <= F.lit(hi))
+        return out
 
     def data_files(self, version: int | None = None, buckets: list[int] | None = None) -> list[str]:
         fs = self.files(version, buckets=buckets)

@@ -160,3 +160,28 @@ def test_tfidf_df_join_broadcasts_count_side(spark):
     df = x_tfidf_topterms(spark, SF)
     assert_broadcast_join(df)
     assert_no_row_python(df)
+
+
+def test_span_dedup_plan_is_linear(spark):
+    """x_span_dedup must stay a window-over-hash plan: no cartesian product,
+    no row-Python — the linear substring-dedup scale shape."""
+    from recidiviz_data_spark.operators.dedup import x_span_dedup
+
+    df = x_span_dedup(spark, SF)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert_no_row_python(df)
+
+
+def test_corpus_pipeline_plan(spark):
+    """The composed corpus-prep op fuses into one Catalyst plan: partial
+    aggregation below the shuffles, broadcast for the bucket-offset table,
+    no cartesian, no row-Python."""
+    from recidiviz_data_spark.operators.pipeline import x_corpus_pipeline
+
+    df = x_corpus_pipeline(spark, SF)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert_partial_aggregation(df)
+    assert_broadcast_join(df)
+    assert_no_row_python(df)

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pytest
 import pyarrow.parquet as pq
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -58,9 +59,10 @@ def _dedupe_seq_payloads(events):
     return out
 
 
+@pytest.mark.parametrize("mor", [False, True])
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(events=events_strategy, n_batches=st.integers(min_value=1, max_value=3))
-def test_lww_replay_equals_sequential_fold(spark, tmp_path_factory, events, n_batches):
+def test_lww_replay_equals_sequential_fold(spark, tmp_path_factory, events, n_batches, mor):
     events = _dedupe_seq_payloads(events)
     # batches must respect arrival order ACROSS batches only loosely — the
     # engine's contract is LWW by seq with tombstones, so any split whose
@@ -94,7 +96,11 @@ def test_lww_replay_equals_sequential_fold(spark, tmp_path_factory, events, n_ba
         )
         pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
 
-    table = create_empty_table(os.path.join(str(tmp), "t"), PAYLOAD, num_buckets=2)
-    apply_batches(spark, table, cl)
+    table = create_empty_table(
+        os.path.join(str(tmp), "t" + ("m" if mor else "c")), PAYLOAD, num_buckets=2
+    )
+    # mor=True forces merge-on-read deltas on every eligible bucket — the
+    # arbitrary-interleaving property must hold for both write modes
+    apply_batches(spark, table, cl, mor=mor, compact=False if mor else "auto")
     got = {r["doc_id"]: tuple(r["tokens"]) for r in table.read(spark).collect()}
     assert got == sequential_fold(events)

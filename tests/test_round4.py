@@ -137,6 +137,17 @@ def test_secondary_stats_skipping(spark, tmp_path):
     assert len(table.files_for_stats(files_d, {"source": ("code", "code")})) == 2
 
 
+def test_read_keys_with_stats_filter(spark, tmp_path):
+    """Point lookup + secondary predicate: key skipping and stats skipping
+    compose, and the residual filter is exact."""
+    table = _mk_table(tmp_path, "t_rks")
+    added = _stage_file(table, 0, [("a", "web", 1), ("b", "code", 2)])
+    added += _stage_file(table, 1, [("c", "books", 3)])
+    table.commit(added_files=added, replaced_buckets=set())
+    got = table.read_keys(spark, ["a", "b"], stats_filter={"source": ("code", "code")})
+    assert [r["doc_id"] for r in got.collect()] == ["b"]
+
+
 def test_files_for_keys_type_guard(tmp_path):
     """Mismatched key type vs recorded stats raises a clear ValueError
     instead of a bare TypeError mid-comparison."""
