@@ -62,6 +62,13 @@ REPEAT = int(os.environ.get("RDS_BENCH_REPEAT", "2"))  # interleaved min-of-N
 # retries fit the budget.
 EXTRA_REPEAT = int(os.environ.get("RDS_BENCH_EXTRA_REPEAT", "8"))
 STABLE_EPS = 0.02  # a new sample improving the prior min by <2% = stable
+# the paired-median needs enough pairs to be a median: with a single valid
+# pair it degenerates to that pair's ratio, and the validity floors only
+# catch SLOW levels — a lucky-FAST N sample (page-cache warm-up, observed
+# 51.8 s vs the 55.8 s quiet reference) then UNDERSTATES scaling with no
+# flag raised. Keep sampling full (N, 4N) rounds until at least this many
+# floor-valid pairs exist (budget permitting).
+MIN_VALID_PAIRS = int(os.environ.get("RDS_BENCH_MIN_VALID_PAIRS", "3"))
 # contamination floor: this engine demonstrably sustains ~750-770k events/s
 # at local[4] on a quiet host (766k round 2 at 12M; 749k round 3 at 20M); a
 # 4N minimum clearly below that means every 4N sample so far was taken
@@ -198,10 +205,21 @@ def main() -> None:
                 and N_EVENTS / min(times[level]) < floor
             )
 
+        def _n_valid_pairs() -> int:
+            return sum(
+                1
+                for a, b in zip(times[lo], times[hi])
+                if N_EVENTS / a >= EXPECTED_N_EPS_MIN
+                and N_EVENTS / b >= EXPECTED_4N_EPS_MIN
+            )
+
+        # the floors are calibrated for the full-size input only (same
+        # threshold _contaminated uses) — tiny smoke benches skip the quota
+        want_pairs = MIN_VALID_PAIRS if N_EVENTS >= 4_000_000 else 0
         for _ in range(EXTRA_REPEAT):
             need_lo = not _stable(times[lo]) or _contaminated(lo, EXPECTED_N_EPS_MIN)
             need_hi = not _stable(times[hi]) or _contaminated(hi, EXPECTED_4N_EPS_MIN)
-            if not (need_lo or need_hi):
+            if not (need_lo or need_hi) and _n_valid_pairs() >= want_pairs:
                 break
             if time.monotonic() - _t_bench0 > TIME_BUDGET_SEC:
                 break
