@@ -89,16 +89,32 @@ def changelog_dir(tag: str, params: dict) -> str:
 def ensure_changelog(tag: str, params: dict) -> str:
     """Generate the deterministic changelog if absent (pure numpy/pyarrow —
     no Spark needed, so the DuckDB oracle can trigger it too). Returns the
-    changelog directory."""
+    changelog directory.
+
+    Publication is an ATOMIC directory rename: generation happens in a
+    process-private sibling dir and lands with one os.rename, so a racing
+    generator (two test processes, or query + oracle) can never observe —
+    or corrupt — a half-written tree. The content is a pure function of
+    ``params``, so whichever racer publishes first wins with identical
+    bytes; the loser just discards its copy. The _GEN_SUCCESS sentinel
+    (written last, inside the staged dir) still guards against a stale
+    partial dir from the PRE-rename era."""
     from recidiviz_data_spark.gen import gen_changelog
 
     cl = changelog_dir(tag, params)
-    if not os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
-        # sentinel, not dir presence: an interrupted generation must never be
-        # mistaken for a finished one (the table built on top would be wrong
-        # forever, since later runs are idempotent no-ops)
-        shutil.rmtree(cl, ignore_errors=True)
-        gen_changelog(cl, **params)
+    if os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
+        return cl
+    shutil.rmtree(cl, ignore_errors=True)
+    stage = f"{cl}.stage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    gen_changelog(stage, **params)
+    try:
+        os.rename(stage, cl)
+    except OSError:
+        # a concurrent generator published first — its content is identical
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
+            raise
     return cl
 
 

@@ -662,6 +662,51 @@ def x_span_dedup(spark, sf_dir, docs=None):
 
 
 @_qx(
+    "x_dedup_funnel",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CAPPED_SQL},
+    {_JACCARD_SQL},
+    edges AS (SELECT d1 AS a, d2 AS b FROM jac
+              UNION ALL SELECT d2, d1 FROM jac),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    nonkeep AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+    keepers AS (SELECT d.doc_id, d.text FROM documents d
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM nonkeep)),
+    quality AS (SELECT doc_id FROM keepers
+                WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 25)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(DISTINCT {PHASH_SQL.format(x="lower(trim(text))")})
+                 FROM documents) AS BIGINT) AS n_exact_unique,
+           CAST((SELECT COUNT(*) FROM keepers) AS BIGINT) AS n_neardup_keepers,
+           CAST((SELECT COUNT(*) FROM quality) AS BIGINT) AS n_quality_kept
+    """,
+)
+def x_dedup_funnel(spark, sf_dir):
+    """Dedup-funnel observability — the per-stage retention report every
+    corpus pipeline publishes: total docs -> distinct exact-content hashes
+    -> near-dup cluster keepers (transitive Jaccard clusters, keeper = min
+    doc_id) -> keepers passing the quality gate (>= 25 words). One row of
+    four counts; each stage reuses the verified operator underneath."""
+    d = load(spark, sf_dir, "documents")
+    clusters = x_neardup_clusters(spark, sf_dir)
+    keepers = clusters.filter("is_keeper").select("doc_id")
+    kd = d.join(keepers, "doc_id", "left_semi")
+    words = F.split(F.trim("text"), r"\s+")
+    a = d.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct(phash(F.lower(F.trim("text")))).alias("n_exact_unique"),
+    )
+    b = kd.agg(F.count("*").alias("n_neardup_keepers"))
+    c = kd.filter(F.size(words) >= 25).agg(F.count("*").alias("n_quality_kept"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+@_qx(
     "x_span_scrub",
     f"""
     WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w

@@ -301,6 +301,13 @@ def test_mor_point_lookup_and_tombstone(spark, changelog_plain, tmp_path):
     apply_batch(spark, table, stale, table.manifest()["last_applied_batch"] + 1,
                 mor=True, compact=False)
     assert table.read(spark).filter(F.col("doc_id") == k_del).count() == 0
+    # the MOR-resolved read plan stays JVM-side and join-sane
+    from recidiviz_data_spark.plans.checks import assert_no_row_python, plan_string
+
+    resolved = table.read(spark)
+    p = plan_string(resolved)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert_no_row_python(resolved)
 
 
 def test_mor_write_amplification(spark, tmp_path):
