@@ -310,6 +310,25 @@ def test_mor_point_lookup_and_tombstone(spark, changelog_plain, tmp_path):
     assert_no_row_python(resolved)
 
 
+def test_split_buckets_folds_mor_deltas(spark, changelog_plain, tmp_path):
+    """Bucket split reads through MOR resolution and replaces every bucket,
+    so delta files fold away and state is preserved across the re-bucket."""
+    from recidiviz_data_spark.cdc.apply import apply_batches, create_empty_table
+    from recidiviz_data_spark.tables.maintenance import split_buckets
+
+    d, _ = changelog_plain
+    table = create_empty_table(str(tmp_path / "t_split"), _v1_payload(), num_buckets=4)
+    apply_batches(spark, table, d, mor=True, compact=False)
+    assert any(f.get("kind") == "delta" for f in table.files())
+    before = _table_state(spark, table).sort_values("doc_id").reset_index(drop=True)
+    split_buckets(spark, table, factor=2)
+    assert table.manifest()["num_buckets"] == 8
+    assert not any(f.get("kind") == "delta" for f in table.files())
+    after = _table_state(spark, table).sort_values("doc_id").reset_index(drop=True)
+    assert before.drop(columns=["tokens"]).equals(after.drop(columns=["tokens"]))
+    assert (before.tokens.map(tuple) == after.tokens.map(tuple)).all()
+
+
 def test_mor_write_amplification(spark, tmp_path):
     """A 1%-change dribble batch under MOR writes < 10% of the bytes the
     copy-on-write rewrite would, and both modes read back identically."""
