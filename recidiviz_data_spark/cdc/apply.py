@@ -225,7 +225,7 @@ def apply_batch(
     decision_prune: bool | str = "auto",
     mor: bool | str = "auto",
     mor_max_changed_fraction: float = 0.05,
-    bloom_ndv: int | None = None,
+    bloom_ndv: int | str | None = None,
 ) -> list[dict]:
     """MERGE one changelog batch into the table. Exactly-once: a batch_id at
     or below the committed watermark is a no-op. Returns lineage rows.
@@ -444,12 +444,24 @@ def apply_batch(
             # base files, bounding delta depth. A compacting batch writes
             # everything COW (the rewrite is already full-bucket).
             if mor and not need_compact:
-                for b in changed_buckets:
-                    s = bucket_summ.get(b)
-                    if not s or not s.get("rows"):
+                # denominator = BASE-file rows only (the summary's row count
+                # also includes prior delta rows, which would inflate it and
+                # keep buckets on the delta path longer than the threshold
+                # intends). Counting needs the changed buckets' sidecars —
+                # O(changed buckets) metadata the rewrite read loads anyway.
+                # Residual drift: base rows superseded by existing deltas
+                # still count; bounded because auto-compaction folds deltas
+                # at compact_files_per_bucket depth.
+                cand = [b for b in changed_buckets if bucket_summ.get(b, {}).get("rows")]
+                base_rows: dict[int, int] = {}
+                for e in table.files(buckets=cand, manifest=m) if cand else []:
+                    if e.get("kind") != "delta":
+                        base_rows[e["bucket"]] = base_rows.get(e["bucket"], 0) + e.get("rows", 0)
+                for b in cand:
+                    if not base_rows.get(b):
                         continue  # no base rows: the "delta" would be the base
                     if mor is True or (
-                        changed_per_bucket[b] <= mor_max_changed_fraction * s["rows"]
+                        changed_per_bucket[b] <= mor_max_changed_fraction * base_rows[b]
                     ):
                         mor_buckets.add(b)
             cow_buckets = changed_buckets - mor_buckets
@@ -484,6 +496,25 @@ def apply_batch(
                 rewrite = kept.unionByName(upserts.repartition(n_out, BUCKET))
             staging = table.staging_dir()
             writer = rewrite.write
+            if bloom_ndv == "auto":
+                # size the filter from metadata already in hand: the largest
+                # output file holds at most (bucket's current rows + its
+                # applied winners) keys — parquet blooms must be configured
+                # BEFORE the write, so this manifest-summary estimate stands
+                # in for the exact footer counts (an over-sized bloom only
+                # costs ~1.2 bytes/key; an under-sized one loses precision).
+                # Floor keeps degenerate demo batches from a useless filter.
+                bloom_ndv = max(
+                    1024,
+                    max(
+                        (
+                            bucket_summ.get(b, {}).get("rows", 0)
+                            + changed_per_bucket.get(b, 0)
+                            for b in changed_buckets
+                        ),
+                        default=0,
+                    ),
+                )
             if bloom_ndv:
                 # parquet-native bloom filter on the key column — row-group
                 # skipping for point lookups whose key falls inside a file's
@@ -491,7 +522,8 @@ def apply_batch(
                 # uncompacted buckets). Off by default: a bloom sized for
                 # ``bloom_ndv`` distinct keys costs ~1.2 bytes/key per file,
                 # which only pays once files carry ~10^5+ rows (the lake
-                # shape, not the demo shape). Size ndv to rows-per-file.
+                # shape, not the demo shape). ``'auto'`` sizes ndv from the
+                # per-bucket row counts above; an int overrides.
                 writer = writer.option(
                     "parquet.bloom.filter.enabled#doc_id", "true"
                 ).option("parquet.bloom.filter.expected.ndv#doc_id", str(bloom_ndv))

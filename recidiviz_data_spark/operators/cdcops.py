@@ -98,24 +98,61 @@ def ensure_changelog(tag: str, params: dict) -> str:
     ``params``, so whichever racer publishes first wins with identical
     bytes; the loser just discards its copy. The _GEN_SUCCESS sentinel
     (written last, inside the staged dir) still guards against a stale
-    partial dir from the PRE-rename era."""
+    partial dir from the PRE-rename era — and removing such a stale dir
+    happens only under an O_EXCL lock file with the sentinel re-checked
+    inside it, so no racer can ever rmtree a dir another process just
+    published (the round-4 TOCTOU: observe-missing-sentinel ->
+    racer-renames-complete-dir -> rmtree deletes it mid-oracle-read)."""
+    import time as _time
+
     from recidiviz_data_spark.gen import gen_changelog
 
     cl = changelog_dir(tag, params)
-    if os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
+    sentinel = os.path.join(cl, "_GEN_SUCCESS")
+    if os.path.exists(sentinel):
         return cl
-    shutil.rmtree(cl, ignore_errors=True)
     stage = f"{cl}.stage-{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
     gen_changelog(stage, **params)
     try:
-        os.rename(stage, cl)
-    except OSError:
-        # a concurrent generator published first — its content is identical
+        try:
+            os.rename(stage, cl)  # the common path: cl absent -> atomic publish
+            return cl
+        except OSError:
+            pass
+        if os.path.exists(sentinel):
+            return cl  # a racer published the identical content first
+        # cl exists WITHOUT a sentinel: a stale partial dir (pre-rename era)
+        # blocks every rename. Clear it under a lock so only ONE process may
+        # delete, and re-check the sentinel inside the lock (a racer cannot
+        # publish while the stale dir occupies the path — rename onto a
+        # non-empty dir fails — so after the re-check the rmtree is safe).
+        lock = cl + ".lock"
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            # another process is clearing the stale dir; wait for its publish
+            for _ in range(600):
+                if os.path.exists(sentinel):
+                    return cl
+                _time.sleep(0.1)
+            raise RuntimeError(f"timed out waiting on changelog lock {lock}")
+        try:
+            if not os.path.exists(sentinel):
+                shutil.rmtree(cl, ignore_errors=True)
+                try:
+                    os.rename(stage, cl)
+                except OSError:
+                    if not os.path.exists(sentinel):
+                        raise
+            return cl
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+    finally:
         shutil.rmtree(stage, ignore_errors=True)
-        if not os.path.exists(os.path.join(cl, "_GEN_SUCCESS")):
-            raise
-    return cl
 
 
 def ensure_changelogs() -> None:

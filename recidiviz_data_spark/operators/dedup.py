@@ -490,19 +490,20 @@ def connected_components(spark, edges, src: str = "d1", dst: str = "d2",
     joins over the label table (one row per node that appears in a pair —
     at 100 TB that is the NEAR-DUP node set, orders of magnitude smaller
     than the corpus). No per-row Python; the driver loop only compares one
-    aggregated sum per round (labels are monotonically non-increasing, so
-    an unchanged sum IS convergence), and ``localCheckpoint`` truncates the
-    iterative plan lineage. This is the pair->cluster resolution every
-    production dedup pipeline needs (the reference's entity-matching plays
-    this role for entities — SURVEY.md §2.3 J1/J2 [U]
-    persistence/entity_matching.py)."""
+    aggregated count per round (labels are monotonically non-increasing
+    under the node domain's total order, so zero changed labels IS
+    convergence — counted directly via an equi-join on node, which works
+    for ANY orderable id type including strings, unlike a numeric label
+    sum), and ``localCheckpoint`` truncates the iterative plan lineage.
+    This is the pair->cluster resolution every production dedup pipeline
+    needs (the reference's entity-matching plays this role for entities —
+    SURVEY.md §2.3 J1/J2 [U] persistence/entity_matching.py)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -515,17 +516,27 @@ def connected_components(spark, edges, src: str = "d1", dst: str = "d2",
             "node", F.least("lbl", F.coalesce("min_nbr", "lbl")).alias("lbl")
         )
         jump = stepped.select(F.col("node").alias("jn"), F.col("lbl").alias("jlbl"))
-        labels = (
+        new_labels = (
             stepped.join(jump, stepped["lbl"] == jump["jn"], "left")
             .select(
                 "node", F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl")
             )
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if new_sum == prev_sum:
+        # convergence = no node's label moved this round (type-agnostic:
+        # works for string doc_ids where a numeric label sum would throw
+        # under ANSI mode or silently yield NULL without it). One count
+        # over the tiny node table per O(log n) round.
+        changed = (
+            new_labels.join(
+                labels.select(F.col("node"), F.col("lbl").alias("_prev")), "node"
+            )
+            .filter(F.col("lbl") != F.col("_prev"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
-        prev_sum = new_sum
     # pointer jumping converges in O(log n) rounds; with max_iter=30 this
     # fires only on a logic regression — returning unconverged labels would
     # silently under-merge clusters, so fail loudly instead

@@ -338,3 +338,192 @@ def x_sequence_packing(spark, sf_dir):
         ).alias("seq_hash"),
     )
     return packed
+
+
+# ---------------------------------------------------------------------------
+# token-level span scrub -> sequence packing (the stage between the dedup
+# suite and a training-ready corpus: cut cross-doc duplicated TOKEN spans out
+# of the engine payload shape — tokens array<int> — recompute n_tok, and pack
+# the scrubbed streams into fixed-length training rows in one composed plan)
+
+TOKEN_VOCAB = 50257  # same vocab the changelog generator uses (gen.py)
+
+from recidiviz_data_spark.operators.dedup import SPAN_LEN  # noqa: E402 — one
+# source of truth for the span width shared with the text-level scrub
+
+
+def tokenize_docs(d):
+    """documents(text) -> (doc_id, toks array<int>): deterministic word-level
+    token ids (phash(word) mod vocab), identical in both engines — the stand-
+    in for a real tokenizer that keeps every downstream op oracle-exact."""
+    ws = F.filter(F.split(F.lower("text"), "[ \\t\\n\\r\\f]+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.transform(
+            ws, lambda w: F.pmod(phash(w), F.lit(TOKEN_VOCAB)).cast("int")
+        ).alias("toks"),
+    )
+
+
+def scrub_token_spans(spark, docs, span_len: int | None = None):
+    """Cut cross-doc duplicated token spans out of each doc's token stream:
+    (doc_id, tokens array<int>, n_tok) with every masked position removed —
+    the engine-payload form of ``x_span_scrub`` (round-4 verdict item 1).
+
+    Scale shape stays linear (same as x_span_dedup): span hashes are a
+    per-doc transform, cross-doc detection is ONE hash-partitioned window
+    (min != max doc), the cut is a (doc, pos) anti-join, and reassembly is a
+    per-doc sort — no pair join anywhere."""
+    from pyspark.sql.window import Window as _W
+
+    from recidiviz_data_spark.operators.dedup import SPAN_LEN
+
+    sl = span_len or SPAN_LEN
+    t = tokenize_docs(docs).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    n = F.size("toks")
+    span_h = lambda i: phash(
+        F.concat_ws(
+            " ", F.transform(F.slice("toks", i, sl), lambda x: x.cast("string"))
+        )
+    )
+    grams = F.when(
+        n >= sl,
+        F.transform(
+            F.sequence(F.lit(1), n - (sl - 1)),
+            lambda i: F.struct(i.alias("i"), span_h(i).alias("h")),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,h:long>>"))
+    g = t.select("doc_id", F.explode(grams).alias("g")).select("doc_id", "g.i", "g.h")
+    w = _W.partitionBy("h")
+    dup = (
+        g.withColumn("mn", F.min("doc_id").over(w))
+        .withColumn("mx", F.max("doc_id").over(w))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "i")
+    )
+    cut = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (sl - 1))).alias("pos")
+    ).distinct()
+    tpos = t.select("doc_id", F.posexplode("toks").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "tok"
+    )
+    kept = tpos.join(cut, ["doc_id", "pos"], "left_anti")
+    scrubbed = kept.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+        ).alias("tokens"),
+        F.count("*").cast("int").alias("n_tok"),
+    )
+    # docs fully scrubbed away (or empty) come back with an empty stream
+    return (
+        docs.select("doc_id")
+        .join(scrubbed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tokens", F.array().cast("array<int>")).alias("tokens"),
+            F.coalesce("n_tok", F.lit(0).cast("int")).alias("n_tok"),
+        )
+    )
+
+
+_SCRUB_PACK_ORACLE = f"""
+    WITH nz AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+    tk AS (SELECT doc_id,
+                  list_transform(ws, w -> {PHASH_SQL.format(x="w")} % {TOKEN_VOCAB}) AS t
+           FROM nz),
+    ts AS (SELECT doc_id, t, list_transform(t, x -> CAST(x AS VARCHAR)) AS s,
+                  len(t) AS n
+           FROM tk),
+    grams AS (SELECT doc_id, i,
+                     {PHASH_SQL.format(x=f"array_to_string(s[i:i+{SPAN_LEN - 1}], ' ')")} AS h
+              FROM ts, UNNEST(generate_series(1, greatest(n - {SPAN_LEN - 1}, 0))) g(i)),
+    dup AS (SELECT doc_id, i FROM (
+              SELECT doc_id, i,
+                     MIN(doc_id) OVER (PARTITION BY h) AS mn,
+                     MAX(doc_id) OVER (PARTITION BY h) AS mx
+              FROM grams)
+            WHERE mn <> mx),
+    cut AS (SELECT DISTINCT doc_id, pos
+            FROM dup, UNNEST(generate_series(i, i + {SPAN_LEN - 1})) p(pos)),
+    tpos AS (SELECT ts.doc_id, gp.pos, ts.t[gp.pos] AS tok
+             FROM ts, UNNEST(generate_series(1, n)) gp(pos)),
+    kept AS (SELECT tp.doc_id, tp.pos, tp.tok,
+                    row_number() OVER (PARTITION BY tp.doc_id ORDER BY tp.pos) AS r
+             FROM tpos tp
+             WHERE NOT EXISTS (SELECT 1 FROM cut
+                               WHERE cut.doc_id = tp.doc_id AND cut.pos = tp.pos)),
+    lens AS (SELECT doc_id, COUNT(*) AS n, doc_id // {PACK_BUCKET} AS b
+             FROM kept GROUP BY doc_id),
+    wb AS (SELECT doc_id, n, b,
+                  SUM(n) OVER (PARTITION BY b ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n AS off_in_b
+           FROM lens),
+    bsum AS (SELECT b, SUM(n) AS tot FROM lens GROUP BY b),
+    boff AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+             FROM bsum),
+    offs AS (SELECT wb.doc_id, boff.boff + wb.off_in_b AS off
+             FROM wb JOIN boff USING (b)),
+    seqs AS (SELECT (offs.off + k.r - 1) // {SEQ_LEN} AS seq_id, k.doc_id,
+                    offs.off + k.r - 1 AS gpos, k.tok
+             FROM kept k JOIN offs USING (doc_id))
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           {PHASH_SQL.format(x="string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gpos)")} AS seq_hash
+    FROM seqs GROUP BY 1
+    """
+
+
+@_qx("x_token_scrub_pack", _SCRUB_PACK_ORACLE)
+def x_token_scrub_pack(spark, sf_dir, docs=None):
+    """The missing stage between the dedup suite and a training run (round-4
+    verdict item 1): tokenize -> cut cross-doc duplicated TOKEN spans
+    (``scrub_token_spans`` — the array<int> analog of x_span_scrub, n_tok
+    recomputed) -> lay the SCRUBBED streams end-to-end at a global offset ->
+    cut into SEQ_LEN training rows. One composed Catalyst plan; the global
+    offset is the same two-phase scan as x_sequence_packing (per-bucket
+    windows + a tiny broadcast offset table), and each packed row's content
+    hash is order-exact in both engines."""
+    from recidiviz_data_spark.operators.relational import load
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    sc = scrub_token_spans(spark, d).filter(F.col("n_tok") > 0)
+    lens = sc.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).cast("long").alias("b"),
+    )
+    w_in = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = lens.withColumn("off_in_b", F.sum("n").over(w_in) - F.col("n"))
+    bsum = lens.groupBy("b").agg(F.sum("n").alias("tot"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select("b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("boff"))
+    offs = wb.join(F.broadcast(boff), "b").select(
+        "doc_id", (F.col("boff") + F.col("off_in_b")).alias("off")
+    )
+    tok = (
+        sc.join(offs, "doc_id")
+        .select("doc_id", "off", F.posexplode("tokens").alias("j", "tok"))
+        .select("doc_id", (F.col("off") + F.col("j")).alias("gpos"), "tok")
+        .withColumn("seq_id", F.floor(F.col("gpos") / SEQ_LEN))
+    )
+    return tok.groupBy("seq_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        phash(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                    lambda s: s["tok"].cast("string"),
+                ),
+            )
+        ).alias("seq_hash"),
+    )

@@ -35,7 +35,7 @@ def compact(
     min_files: int = 2,
     tombstone_horizon: int | None = None,
     sort: bool = True,
-    bloom_ndv: int | None = None,
+    bloom_ndv: int | str | None = None,
     max_records_per_file: int | None = None,
 ) -> int | None:
     """Rewrite buckets holding >= min_files files into one file each.
@@ -77,6 +77,18 @@ def compact(
     writer = out.write
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if bloom_ndv == "auto":
+        # rows-per-output-file from the manifest summaries (compaction writes
+        # one file per bucket unless max_records_per_file splits it) — the
+        # ndv estimate the caller would otherwise have to hand-compute
+        rows_max = max(
+            (s.get("rows", 0) for b, s in Miniberg.bucket_summaries(m).items()
+             if b in set(todo)),
+            default=0,
+        )
+        if max_records_per_file:
+            rows_max = min(rows_max, max_records_per_file)
+        bloom_ndv = max(1024, rows_max)
     if bloom_ndv:
         # key-column bloom on compacted files (see apply.py for sizing) —
         # compaction is where files get big enough for blooms to pay
@@ -91,7 +103,9 @@ def compact(
         added_files=added,
         replaced_buckets=set(todo),
         expected_parent=m["version"],
-        props={"last_compaction_version": m["version"] + 1},
+        # props_fn: stamped with the version the commit ACTUALLY lands at —
+        # a disjoint-bucket rebase would make a precomputed m.version+1 stale
+        props_fn=lambda v: {"last_compaction_version": v},
     )
 
 
@@ -171,7 +185,7 @@ def split_buckets(
         replaced_buckets=set(range(m["num_buckets"])),
         expected_parent=m["version"],
         num_buckets=n_new,
-        props={"last_bucket_split_version": m["version"] + 1},
+        props_fn=lambda v: {"last_bucket_split_version": v},
     )
 
 

@@ -363,19 +363,17 @@ class Miniberg:
         column-stats prune), and the exact residual filter is applied to the
         surviving rows. At lake scale a ``ts``-range or ``source`` predicate
         then opens only the files that can match instead of the bucket's
-        whole history."""
+        whole history. The residual filter runs BEFORE internal columns are
+        dropped, so a stats_filter on ``_seq`` (which IS recorded in the
+        per-file stats) works under the default include_internal=False."""
         m = self.manifest(version)
         files = self.files(buckets=buckets, manifest=m)
         if stats_filter:
             files = self.files_for_stats(files, stats_filter)
-        out = self._read_files(spark, m, files, include_internal=include_internal)
+        out = self._read_files(spark, m, files, include_internal=True)
         if stats_filter:
-            for col, (lo, hi) in stats_filter.items():
-                if lo is not None:
-                    out = out.filter(F.col(col) >= F.lit(lo))
-                if hi is not None:
-                    out = out.filter(F.col(col) <= F.lit(hi))
-        return out
+            out = _residual_filter(out, stats_filter)
+        return out if include_internal else self._public_view(m, out)
 
     @staticmethod
     def files_for_stats(files: list[dict], stats_filter: dict) -> list[dict]:
@@ -457,6 +455,14 @@ class Miniberg:
             out = out.join(latest.select(key), key, "left_anti").unionByName(latest)
         if include_internal:
             return out
+        return self._public_view(m, out)
+
+    def _public_view(self, m: dict, out: DataFrame) -> DataFrame:
+        """Internal-resolved rows -> the user-facing view: drop tombstones,
+        project away internal columns. THE single drop rule (read /
+        read_keys / _read_files share it so residual stats filters can run
+        on internal columns first)."""
+        user = self._schema_struct(m, m["schema_id"], include_internal=False)
         if "_deleted" in out.columns:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return out.select([f.name for f in user.fields])
@@ -521,15 +527,11 @@ class Miniberg:
             # secondary-predicate pruning composes with key skipping (the
             # delta-bucket conservatism in files_for_stats still applies)
             files = self.files_for_stats(files, stats_filter)
-        out = self._read_files(spark, m, files, include_internal=include_internal)
+        out = self._read_files(spark, m, files, include_internal=True)
         out = out.filter(F.col(key_col).isin(keys))
         if stats_filter:
-            for col, (lo, hi) in stats_filter.items():
-                if lo is not None:
-                    out = out.filter(F.col(col) >= F.lit(lo))
-                if hi is not None:
-                    out = out.filter(F.col(col) <= F.lit(hi))
-        return out
+            out = _residual_filter(out, stats_filter)
+        return out if include_internal else self._public_view(m, out)
 
     def data_files(self, version: int | None = None, buckets: list[int] | None = None) -> list[str]:
         fs = self.files(version, buckets=buckets)
@@ -583,6 +585,7 @@ class Miniberg:
         lineage_rows: list[dict] | None = None,
         expected_parent: int | None = None,
         props: dict | None = None,
+        props_fn=None,
         num_buckets: int | None = None,
         rebase_retries: int = 3,
     ) -> int:
@@ -600,6 +603,13 @@ class Miniberg:
         disjoint key ranges never replay their whole apply. Any overlap or
         watermark/schema movement still raises, because the caller's
         decisions were computed against state that actually changed.
+        Callers that need STRICT CAS (no rebase even for disjoint buckets)
+        pass ``rebase_retries=0``.
+
+        ``props_fn(version) -> dict`` computes props from the version this
+        commit ACTUALLY lands at — use it for version-stamped props (e.g.
+        ``last_compaction_version``) that a rebase would otherwise make
+        stale. Merged on top of ``props``.
 
         ``num_buckets`` re-declares the table's bucket function atomically with
         this commit (bucket-split maintenance): EVERY pre-existing bucket must
@@ -616,6 +626,7 @@ class Miniberg:
                     last_applied_batch=last_applied_batch,
                     lineage_rows=lineage_rows,
                     props=props,
+                    props_fn=props_fn,
                     num_buckets=num_buckets,
                 )
             except CommitConflict:
@@ -680,6 +691,7 @@ class Miniberg:
         lineage_rows: list[dict] | None,
         props: dict | None,
         num_buckets: int | None,
+        props_fn=None,
     ) -> int:
         if self.current_version() != parent_v:
             raise CommitConflict(f"parent moved: != {parent_v}")
@@ -724,8 +736,9 @@ class Miniberg:
                     f"(watermark={m['last_applied_batch']})"
                 )
             new["last_applied_batch"] = last_applied_batch
-        if props:
-            new["props"] = {**m.get("props", {}), **props}
+        if props or props_fn:
+            late = props_fn(new["version"]) if props_fn else {}
+            new["props"] = {**m.get("props", {}), **(props or {}), **late}
         if num_buckets is not None and num_buckets != m["num_buckets"]:
             if carried:
                 raise CommitConflict(
@@ -843,6 +856,17 @@ class Miniberg:
             if not young:
                 shutil.rmtree(d, ignore_errors=True)
         return removed
+
+
+def _residual_filter(out: DataFrame, stats_filter: dict) -> DataFrame:
+    """Apply the exact {col: (lo, hi)} range predicate a stats-based file
+    prune was derived from (file skipping is necessary-not-sufficient)."""
+    for col, (lo, hi) in stats_filter.items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+    return out
 
 
 def collect_references(table: "Miniberg", versions: list[int]) -> tuple[set, set]:

@@ -1,0 +1,224 @@
+"""Round-5 additions: ADVICE-r4 fixes (string-id connected components,
+changelog-publication lock, internal-column stats filters, rebase-proof
+version props, base-rows MOR threshold) and the round-5 build items."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------- ADVICE r4 fixes
+def test_connected_components_string_ids(spark):
+    """Convergence detection must work for NON-numeric node ids (the engine's
+    CDC tables key on string doc_ids): chains of string nodes collapse to
+    min-label clusters without relying on sum(label)."""
+    from recidiviz_data_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("doc_c", "doc_d"),
+         ("zed_1", "zed_2")],
+        "d1 string, d2 string",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(spark, edges).collect()
+    }
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a", "doc_d": "doc_a",
+        "zed_1": "zed_1", "zed_2": "zed_1",
+    }
+
+
+def test_connected_components_string_chain(spark):
+    """A longer string-id chain still converges in O(log n) rounds (pointer
+    jumping is type-agnostic)."""
+    from recidiviz_data_spark.operators.dedup import connected_components
+
+    n = 17
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        "d1 string, d2 string",
+    )
+    rows = connected_components(spark, edges).collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {"n000"}
+
+
+def test_ensure_changelog_stale_dir_cleared_and_published_dir_kept(tmp_path, monkeypatch):
+    """A stale pre-rename-era dir (no _GEN_SUCCESS) is cleared and replaced;
+    an already-published dir is NEVER touched (the r4 TOCTOU fix: removal
+    happens under a lock with the sentinel re-checked inside it)."""
+    import tempfile
+
+    from recidiviz_data_spark.operators import cdcops
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    params = dict(n_docs=20, n_events=60, n_batches=2, seed=3)
+    cl = cdcops.changelog_dir("t5", params)
+    # plant a stale partial dir (no sentinel) at the publish path
+    os.makedirs(cl)
+    with open(os.path.join(cl, "junk.parquet"), "w") as f:
+        f.write("partial")
+    got = cdcops.ensure_changelog("t5", params)
+    assert got == cl
+    assert os.path.exists(os.path.join(cl, "_GEN_SUCCESS"))
+    assert not os.path.exists(os.path.join(cl, "junk.parquet"))
+    assert not os.path.exists(cl + ".lock")
+    # published dir is stable across repeat calls (same inode of sentinel)
+    ino = os.stat(os.path.join(cl, "_GEN_SUCCESS")).st_ino
+    assert cdcops.ensure_changelog("t5", params) == cl
+    assert os.stat(os.path.join(cl, "_GEN_SUCCESS")).st_ino == ino
+
+
+def test_stats_filter_on_internal_seq(spark, tmp_path):
+    """A stats_filter on ``_seq`` (recorded in per-file stats) must work
+    under the default include_internal=False — the residual predicate runs
+    BEFORE internal columns are dropped (ADVICE r4)."""
+    from tests.test_round4 import _mk_table, _stage_file
+
+    table = _mk_table(tmp_path, "t_seqstats", num_buckets=2)
+    added = _stage_file(table, 0, [(f"a{i}", "web", i) for i in range(5)])
+    added += _stage_file(table, 1, [(f"b{i}", "code", 10 + i) for i in range(5)])
+    table.commit(added_files=added, replaced_buckets=set())
+    out = table.read(spark, stats_filter={"_seq": (10, None)})
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {f"b{i}" for i in range(5)}
+    assert "_seq" not in out.columns  # still the public view
+    # and composes with read_keys
+    got = table.read_keys(spark, ["b2"], stats_filter={"_seq": (10, None)})
+    assert got.count() == 1
+    assert table.read_keys(spark, ["b2"], stats_filter={"_seq": (0, 5)}).count() == 0
+
+
+def test_commit_props_fn_survives_rebase(tmp_path):
+    """props_fn stamps the version the commit ACTUALLY lands at: after a
+    disjoint-bucket rebase the recorded version matches the returned one
+    (ADVICE r4: compact's precomputed m.version+1 went stale)."""
+    from tests.test_round4 import _mk_table, _stage_file
+
+    table = _mk_table(tmp_path, "t_propsfn")
+    v0 = table.current_version()
+    e_b0 = _stage_file(table, 0, [("a", "web", 1)])
+    e_b1 = _stage_file(table, 1, [("b", "web", 1)])
+    assert table.commit(added_files=e_b0, replaced_buckets={0}, expected_parent=v0) == 1
+    # stale parent + disjoint bucket -> internal rebase; props_fn sees v=2
+    v = table.commit(
+        added_files=e_b1, replaced_buckets={1}, expected_parent=v0,
+        props_fn=lambda ver: {"last_compaction_version": ver},
+    )
+    assert v == 2
+    assert table.manifest()["props"]["last_compaction_version"] == v
+
+
+def test_compact_records_actual_version(spark, tmp_path):
+    """compact()'s last_compaction_version prop equals the version compact
+    returned."""
+    from tests.test_round4 import _mk_table, _stage_file
+    from recidiviz_data_spark.tables.maintenance import compact
+
+    table = _mk_table(tmp_path, "t_compactv", num_buckets=2)
+    added = _stage_file(table, 0, [(f"a{i}", "web", i) for i in range(3)])
+    added += _stage_file(table, 0, [(f"c{i}", "web", 10 + i) for i in range(3)])
+    table.commit(added_files=added, replaced_buckets=set())
+    v = compact(spark, table, min_files=2)
+    assert v is not None
+    assert table.manifest()["props"]["last_compaction_version"] == v
+
+
+def test_mor_threshold_uses_base_rows_only(spark, tmp_path):
+    """The MOR changed-fraction denominator counts BASE-file rows, not
+    base+delta: with 400 base rows and 20 existing delta rows, a 21-doc
+    change (> 5% of 400, but <= 5% of 420) must go copy-on-write."""
+    from recidiviz_data_spark.cdc.apply import apply_batch, create_empty_table
+    from tests.test_round4 import _v1_payload
+
+    def batch(seq0, ids):
+        return spark.createDataFrame(
+            [(seq0 + j, "U", f"doc_{i:08d}", [1, 2], 2, "web")
+             for j, i in enumerate(ids)],
+            "event_seq long, op string, doc_id string, tokens array<int>, "
+            "n_tok int, source string",
+        )
+
+    table = create_empty_table(str(tmp_path / "t_mden"), _v1_payload(), num_buckets=1)
+    apply_batch(spark, table, batch(0, range(400)), 0, mor="auto", compact=False)
+    # dribble: 20 docs -> 20 <= 0.05*400 -> MOR (bucket now has base + delta)
+    lin1 = apply_batch(spark, table, batch(1000, range(20)), 1, mor="auto", compact=False)
+    assert [r.get("write_mode") for r in lin1] == ["mor"]
+    # 21 docs: the inflated denominator 420 would keep MOR (21 <= 21);
+    # base-only denominator 400 forces COW (21 > 20)
+    lin2 = apply_batch(spark, table, batch(2000, range(21)), 2, mor="auto",
+                       compact=False, compact_files_per_bucket=99)
+    assert [r.get("write_mode") for r in lin2] == ["cow"]
+    # state is correct either way
+    assert table.read(spark).count() == 400
+
+
+def test_bloom_auto_ndv(spark, tmp_path):
+    """bloom_ndv='auto' sizes the filter from per-bucket row counts already
+    in the manifest — bloom bytes land with no explicit ndv, and point
+    lookups stay exact (ADVICE r4 / verdict item 2)."""
+    from recidiviz_data_spark.cdc.apply import apply_batch, create_empty_table
+    from recidiviz_data_spark.tables.maintenance import compact
+    from tests.test_round4 import _v1_payload
+
+    batch = spark.createDataFrame(
+        [(i, "I", f"doc_{i:08d}", [1, 2], 2, "web") for i in range(2000)],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    t1 = create_empty_table(str(tmp_path / "t_ba"), _v1_payload(), num_buckets=2)
+    t2 = create_empty_table(str(tmp_path / "t_bp"), _v1_payload(), num_buckets=2)
+    apply_batch(spark, t1, batch, 0, bloom_ndv="auto")
+    apply_batch(spark, t2, batch, 0)
+    b1 = sum(f["bytes"] for f in t1.files())
+    b2 = sum(f["bytes"] for f in t2.files())
+    assert b1 > b2 + 1000, (b1, b2)  # auto-sized bloom bytes actually landed
+    got = t1.read_keys(spark, ["doc_00000042"]).collect()
+    assert len(got) == 1 and got[0]["n_tok"] == 2
+    # compaction path: auto ndv from summaries (capped by max_records_per_file)
+    assert compact(spark, t2, min_files=1, bloom_ndv="auto") is not None
+    b2c = sum(f["bytes"] for f in t2.files())
+    assert b2c > b2 + 1000, (b2c, b2)
+    assert t2.read_keys(spark, ["doc_00000042"]).count() == 1
+
+
+# --------------------------------------------- token-level span scrub -> pack
+def test_token_span_scrub_planted(spark):
+    """A planted cross-doc duplicated token span is cut from BOTH docs'
+    token arrays, n_tok is recomputed, and the packed sequences contain
+    exactly the surviving tokens (verdict r4 item 1)."""
+    from recidiviz_data_spark.operators.pipeline import (
+        SEQ_LEN,
+        scrub_token_spans,
+        tokenize_docs,
+        x_token_scrub_pack,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    uniq_a = " ".join(f"worda{i}" for i in range(10))
+    uniq_b = " ".join(f"wordb{i}" for i in range(12))
+    filler = [(100 + i, f"filler{i} " + " ".join(f"f{i}x{j}" for j in range(6)))
+              for i in range(3)]
+    docs = spark.createDataFrame(
+        [(1, f"{uniq_a} {span}"), (2, f"{span} {uniq_b}")] + filler,
+        "doc_id long, text string",
+    )
+    # the planted span's token ids (via the same deterministic tokenizer)
+    span_docs = spark.createDataFrame([(0, span)], "doc_id long, text string")
+    span_toks = set(tokenize_docs(span_docs).collect()[0]["toks"])
+
+    sc = {r["doc_id"]: r for r in scrub_token_spans(spark, docs).collect()}
+    assert sc[1]["n_tok"] == 10 and sc[2]["n_tok"] == 12  # span cut, rest kept
+    assert not span_toks & set(sc[1]["tokens"])
+    assert not span_toks & set(sc[2]["tokens"])
+    assert len(sc[1]["tokens"]) == sc[1]["n_tok"]  # n_tok recomputed
+    for i, _ in filler:
+        assert sc[i]["n_tok"] == 7  # untouched docs keep every token
+
+    packed = x_token_scrub_pack(spark, None, docs=docs).collect()
+    total = sum(r["n_tokens"] for r in packed)
+    assert total == sum(r["n_tok"] for r in sc.values())  # packed == scrubbed
+    assert all(r["n_tokens"] <= SEQ_LEN for r in packed)
