@@ -491,6 +491,104 @@ def x_ann_recall(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# materialized IVF index (round-4 verdict item 3): the assignment persisted
+# ONCE as a cell-partitioned layout; every later search reads the tiny
+# centroid table + only the probed cells' files — centroids are never
+# recomputed per query, and partition pruning replaces the corpus scan.
+
+def ivf_index_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from recidiviz_data_spark.operators.relational import _roundtrip_cache_tag
+
+    tag = _roundtrip_cache_tag(sf_dir, "embeddings")
+    return os.path.join(tempfile.gettempdir(), f"rds_ivfidx_{tag}")
+
+
+def ivf_index_build(spark, sf_dir, path: str | None = None, *,
+                    lloyd_iters: int = 1) -> str:
+    """Materialize the IVF index: vectors hive-partitioned by their cell
+    (``cell=<cent_id>/`` — the write-time partition key the e_ann_ivf
+    docstring promises) plus the centroid table (K rows — the only thing a
+    search must always read). Idempotent per (sf_dir mtime, size) cache key;
+    at lake scale this is the nightly index build, and incremental ingest
+    appends to its cell's partition without touching the rest."""
+    import os
+
+    path = path or ivf_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    iv, cents, assign = ivf_assign(spark, sf_dir, lloyd_iters, with_cents=True)
+    vecs = iv.join(assign.select("vec_id", "cent_id"), "vec_id").select(
+        "vec_id", "label", "v", "n2", F.col("cent_id").alias("cell")
+    )
+    vecs.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def ivf_index_search(spark, path: str, query_df, *, k: int = 3, nprobe: int = 1):
+    """Search the MATERIALIZED index: rank the persisted centroids per query
+    (broadcast — K rows), then read ONLY the probed cells' partitions
+    (partition pruning on ``cell``; compute scales with nprobe, never the
+    corpus) and rank candidates by exact cosine. Identical results to the
+    in-memory ``ivf_search`` at any nprobe — pytest-asserted."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    q = query_df.select("vec_id", "v", "n2")
+    probes = _nearest_cents(q, cents, nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell")
+    )
+    # probed-cell list: K-bounded metadata (never corpus-scale) — drives
+    # partition pruning on the vectors layout
+    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cell").isin(cells)
+    )
+    qa = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    ).join(probes, "query_id")
+    cand = (
+        qa.join(vecs, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = _dot(F.col("qv"), F.col("v")).cast("double") / F.sqrt(
+        F.col("qn2") * F.col("n2")
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cell", cos.alias("cosine")
+    ).distinct()  # a neighbor reachable via several probed cells counts once
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).drop("rn")
+
+
+@_qx("x_ann_ivf_indexed", _IVF_ORACLE)
+def x_ann_ivf_indexed(spark, sf_dir):
+    """ANN over the PERSISTED cell-partitioned IVF index: build once (cached
+    on the embeddings parquet's identity), then search by reading the
+    centroid table + the probed cells' files only — the at-scale serving
+    shape (e_ann_ivf recomputes the index per query; this one never does).
+    Same oracle as e_ann_ivf: the materialization must not change a single
+    neighbor."""
+    path = ivf_index_build(spark, sf_dir)
+    q = _scaled(spark, sf_dir).filter("vec_id < 10")
+    return ivf_index_search(spark, path, q, k=3, nprobe=1).select(
+        "query_id", "neighbor_id", "cell", "cosine"
+    )
+
+
 @_q("e_ann_ivf", _IVF_ORACLE)
 def e_ann_ivf(spark, sf_dir):
     """IVF ANN: coarse quantizer (nearest centroid by exact L2 on the

@@ -44,9 +44,11 @@ entries live in content-addressed, immutable per-bucket sidecars under
 
 LIMITS (documented scale envelope; see maintenance.py for the mitigations):
 
-- **v{N}.json is O(buckets)** (~90 bytes/bucket): 10^5 buckets ≈ 9 MiB per
-  snapshot — the practical bucket ceiling before a third level
-  (manifest-list of bucket-range manifests) would be needed. Compaction
+- **v{N}.json is O(buckets)** (~90 bytes/bucket): 10^5 buckets ≈ 13 MiB per
+  snapshot and 0.85 s per incremental commit (measured —
+  tools/manifest_scale_bench.py; design + numbers in BENCH/BASELINE.md
+  "Manifest metadata scale") — the practical bucket ceiling before a third
+  level (manifest-list of bucket-range manifests) would be needed. Compaction
   (``compact``, or ``compact='auto'`` in apply) bounds files at
   ~``compact_files_per_bucket`` per bucket, so sidecars stay tiny.
 - **num_buckets is chosen at creation**, and a COW rewrite touches whole
