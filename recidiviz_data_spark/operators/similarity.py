@@ -534,6 +534,27 @@ def ivf_index_build(spark, sf_dir, path: str | None = None, *,
     return path
 
 
+def ivf_index_append(spark, path: str, new_vectors) -> int:
+    """Incremental ingest into the MATERIALIZED index: assign new vectors
+    (``vec_id, label, v, n2``) to the EXISTING persisted centroids (no
+    re-train — the standard IVF ingest contract; periodic rebuilds re-train)
+    and append them into their cells' partitions. At lake scale the batch is
+    small, the centroid table broadcasts, and only the touched cell
+    directories gain files — the ANN analog of x_incremental_neardup's
+    band-index probe. Returns the number of vectors appended."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = new_vectors.select("vec_id", "label", "v", "n2").join(
+        _nearest_cent(new_vectors, cents).select("vec_id", "cent_id"), "vec_id"
+    ).select("vec_id", "label", "v", "n2", F.col("cent_id").alias("cell"))
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    return n
+
+
 def ivf_index_search(spark, path: str, query_df, *, k: int = 3, nprobe: int = 1):
     """Search the MATERIALIZED index: rank the persisted centroids per query
     (broadcast — K rows), then read ONLY the probed cells' partitions

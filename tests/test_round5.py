@@ -224,6 +224,54 @@ def test_token_span_scrub_planted(spark):
     assert all(r["n_tokens"] <= SEQ_LEN for r in packed)
 
 
+def test_manifest_scale_bench_tool():
+    """The metadata-scale bench tool (third-level decision input) runs and
+    reports sane, positive numbers at a small bucket count — pure metadata,
+    no Spark."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from manifest_scale_bench import bench
+
+    r = bench(64)
+    assert r["n_buckets"] == 64
+    assert r["manifest_bytes"] > 0
+    assert 0 <= r["incr_commit_sec"] <= r["full_commit_sec"] + 1
+
+
+def test_scrub_engine_payload_end_to_end(spark, tmp_path):
+    """Close the ingest -> dedup -> training loop on the ENGINE's own payload:
+    apply a changelog carrying a planted duplicated token run into a miniberg
+    table, read the table back, scrub the duplicated span from the
+    array<int> payload (pre_tokenized=True), and check n_tok is recomputed
+    while untouched docs keep every token."""
+    from recidiviz_data_spark.cdc.apply import apply_batch, create_empty_table
+    from recidiviz_data_spark.operators.pipeline import scrub_token_spans
+    from tests.test_round4 import _v1_payload
+
+    span = list(range(900, 908))  # the planted 8-token duplicate run
+    rows = [
+        (0, "I", "doc_a", [11, 12, 13] + span, 11, "web"),
+        (1, "I", "doc_b", span + [21, 22, 23, 24], 12, "web"),
+        (2, "I", "doc_c", [31, 32, 33, 34, 35, 36, 37, 38, 39], 9, "web"),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    table = create_empty_table(str(tmp_path / "t_scrub"), _v1_payload(), num_buckets=2)
+    apply_batch(spark, table, batch, 0)
+    state = table.read(spark).select("doc_id", "tokens")
+    sc = {
+        r["doc_id"]: r
+        for r in scrub_token_spans(spark, state, pre_tokenized=True).collect()
+    }
+    assert sc["doc_a"]["tokens"] == [11, 12, 13] and sc["doc_a"]["n_tok"] == 3
+    assert sc["doc_b"]["tokens"] == [21, 22, 23, 24] and sc["doc_b"]["n_tok"] == 4
+    assert sc["doc_c"]["n_tok"] == 9  # untouched doc keeps every token
+
+
 # ------------------------------------------------------ materialized ANN index
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.01")
 
@@ -255,6 +303,79 @@ def test_ivf_index_search_matches_inmemory(spark):
     from recidiviz_data_spark.plans.checks import assert_partition_filter
 
     assert_partition_filter(ivf_index_search(spark, path, q, k=3, nprobe=1), "cell")
+
+
+def test_ivf_index_append_incremental(spark, tmp_path):
+    """Incremental cell-append: an index built from part of the corpus and
+    appended with the rest serves IDENTICAL searches to assigning the full
+    corpus against the same (part-trained) centroids in memory — corpus-side
+    work never re-runs on ingest."""
+    from recidiviz_data_spark.operators.similarity import (
+        _dot,
+        _nearest_cent,
+        _scaled,
+        ivf_index_search,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    iv = _scaled(spark, SF_DIR)
+    part, rest = iv.filter("vec_id % 3 != 0"), iv.filter("vec_id % 3 = 0")
+
+    # build from `part` only (same construction as ivf_index_build, but on
+    # the subset — centroids are trained on what has been ingested so far)
+    from recidiviz_data_spark.operators.similarity import _lloyd_step
+
+    cents = part.filter("vec_id % 31 = 0").select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+    )
+    assign = _nearest_cent(part, cents)
+    cents = _lloyd_step(part, assign)
+    assign = _nearest_cent(part, cents)
+    path = str(tmp_path / "ivfidx")
+    import os
+
+    part.join(assign.select("vec_id", "cent_id"), "vec_id").select(
+        "vec_id", "label", "v", "n2", F.col("cent_id").alias("cell")
+    ).write.partitionBy("cell").parquet(os.path.join(path, "vectors"))
+    cents.write.parquet(os.path.join(path, "centroids"))
+
+    from recidiviz_data_spark.operators.similarity import ivf_index_append
+
+    assert ivf_index_append(spark, path, rest) == rest.count()
+
+    q = iv.filter("vec_id < 10")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ivf_index_search(spark, path, q, k=3, nprobe=2).collect()
+    )
+    # expected: the full corpus assigned to the SAME part-trained centroids
+    full_assign = _nearest_cent(iv, cents).select("vec_id", "cent_id")
+    probes = q.select(F.col("vec_id").alias("query_id"), "v", "n2")
+    from recidiviz_data_spark.operators.similarity import _nearest_cents
+
+    pr = _nearest_cents(q, cents, 2).select(
+        F.col("vec_id").alias("query_id"), "cent_id"
+    )
+    qa = q.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    ).join(pr, "query_id")
+    cand = qa.join(full_assign, "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).join(iv, "vec_id")
+    cos = _dot(F.col("qv"), F.col("v")).cast("double") / F.sqrt(F.col("qn2") * F.col("n2"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .collect()
+    )
+    assert got == want
 
 
 def test_stream_sessions_match_batch(spark):
