@@ -79,8 +79,18 @@ def _shingles_capped(spark, sf_dir, docs=None):
     the corpus). The hot list is computed with one groupBy and removed with a
     broadcast LEFT ANTI join — the corpus-side rows never shuffle for the
     cap, and the pair-join downstream can no longer go quadratic on a Zipf
-    head shingle."""
-    sh = _shingles(spark, sf_dir, docs=docs)
+    head shingle.
+
+    The shingle set is materialized ONCE (localCheckpoint): the hot-list
+    aggregation and the anti-join both consume it, and the plain DAG
+    re-runs the whole split/explode/distinct pipeline per consumer
+    (downstream self-joins like d_ngram_jaccard's add a third and fourth
+    pass — measured 2.6 -> 1.9 s minhash, 3.0 -> 1.8 s jaccard at sf0.1).
+    At lake scale this materialization is the same order as the shuffle
+    files distinct() already writes; a production corpus would additionally
+    maintain the hot list as a sampled side artifact instead of a full
+    aggregation."""
+    sh = _shingles(spark, sf_dir, docs=docs).localCheckpoint()
     n_docs = (docs if docs is not None else load(spark, sf_dir, "documents")).select(
         F.countDistinct("doc_id").alias("nd")
     )
@@ -283,6 +293,12 @@ def _minhash_bands(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
         )
         .filter(F.col("_c") <= band_cap)
         .drop("_c")
+        # materialized once (4 rows/doc): every consumer either self-joins
+        # this index (d_minhash_lsh) or probes it twice (incremental path),
+        # and the plain DAG re-runs the signature pipeline per side —
+        # exactly the "materialized index" this function's docstring
+        # promises (measured 2.7 -> 1.8 s at sf0.1)
+        .localCheckpoint()
     )
 
 
@@ -426,6 +442,10 @@ def d_simhash_banded(spark, sf_dir, band_cap=SIMHASH_BAND_CAP):
         bandrows.withColumn("_c", F.count("*").over(_W.partitionBy("band", "bits")))
         .filter(F.col("_c") <= band_cap)
         .drop("_c")
+        # materialized once: the a/b self-join below would otherwise re-run
+        # the whole token-explode x32 signature pipeline per side
+        # (measured 1.7 -> 1.4 s at sf0.1); 4 rows/doc, tiny to store
+        .localCheckpoint()
     )
     a, b = bandrows.alias("a"), bandrows.alias("b")
     cand = (

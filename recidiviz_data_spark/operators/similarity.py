@@ -29,8 +29,16 @@ def _scaled(spark, sf_dir):
     iv = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
     out = e.select("vec_id", "label", iv.alias("v"))
     # precompute the (exact) squared norm ONCE per vector — pair queries then
-    # evaluate a single dot product per candidate instead of three
-    return out.withColumn("n2", _dot(F.col("v"), F.col("v")).cast("double"))
+    # evaluate a single dot product per candidate instead of three.
+    # localCheckpoint: every ANN op consumes this table at least twice
+    # (query side + corpus side of a self-join; IVF adds centroid seeding
+    # and Lloyd passes) and the plain DAG re-runs the interpreted scale
+    # transform per consumer (measured: topk 1.0 -> 0.5 s, lsh 1.6 -> 1.1,
+    # ivf 2.5 -> 1.6 at sf0.1). At lake scale this materialization IS the
+    # persisted index layout — ivf_index_build writes exactly these columns.
+    return out.withColumn(
+        "n2", _dot(F.col("v"), F.col("v")).cast("double")
+    ).localCheckpoint()
 
 
 _SCALED_SQL = """
@@ -553,6 +561,32 @@ def ivf_index_append(spark, path: str, new_vectors) -> int:
         os.path.join(path, "vectors")
     )
     return n
+
+
+def ivf_index_refresh(spark, path: str) -> str:
+    """Periodic re-train: one Lloyd refinement over the index's CURRENT
+    contents (appended vectors included), then re-assign and rewrite the
+    layout — the maintenance pass that repairs cell balance after many
+    incremental appends. Demo-grade swap (overwrite both dirs; a lake
+    deployment would version the index through a snapshot-committed table
+    so readers never observe a half-swapped layout)."""
+    import os
+
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).select(
+        "vec_id", "label", "v", "n2", F.col("cell").alias("cent_id")
+    )
+    iv = vecs.select("vec_id", "label", "v", "n2").localCheckpoint()
+    cents = _lloyd_step(iv, vecs.select("vec_id", "cent_id"))
+    assign = _nearest_cent(iv, cents)
+    out = iv.join(assign.select("vec_id", "cent_id"), "vec_id").select(
+        "vec_id", "label", "v", "n2", F.col("cent_id").alias("cell")
+    ).localCheckpoint()  # fully materialize BEFORE overwriting the source
+    cents = cents.localCheckpoint()
+    out.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return path
 
 
 def ivf_index_search(spark, path: str, query_df, *, k: int = 3, nprobe: int = 1):

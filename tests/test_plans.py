@@ -185,3 +185,34 @@ def test_corpus_pipeline_plan(spark):
     assert_partial_aggregation(df)
     assert_broadcast_join(df)
     assert_no_row_python(df)
+
+
+def test_token_scrub_pack_plan_is_linear(spark):
+    """x_token_scrub_pack (tokenize -> span mask -> cut -> pack) must keep
+    the linear shape end-to-end: no cartesian product, no row-Python, and
+    the bucket-offset table broadcasts into the doc-level stream."""
+    from recidiviz_data_spark.operators.pipeline import x_token_scrub_pack
+
+    df = x_token_scrub_pack(spark, SF)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert_broadcast_join(df)
+    assert_no_row_python(df)
+
+
+def test_ivf_index_search_plan(spark):
+    """Searching the materialized IVF index partition-prunes on the probed
+    cells and never falls back to row-Python or a cartesian scan."""
+    from recidiviz_data_spark.operators.similarity import (
+        _scaled,
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    path = ivf_index_build(spark, SF)
+    q = _scaled(spark, SF).filter("vec_id < 10")
+    df = ivf_index_search(spark, path, q, k=3, nprobe=1)
+    assert_partition_filter(df, "cell")
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert_no_row_python(df)

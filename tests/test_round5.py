@@ -72,6 +72,53 @@ def test_ensure_changelog_stale_dir_cleared_and_published_dir_kept(tmp_path, mon
     assert os.stat(os.path.join(cl, "_GEN_SUCCESS")).st_ino == ino
 
 
+def _race_ensure_changelog(args):
+    """Child-process worker: generate/wait on the shared changelog dir."""
+    import os
+
+    os.environ["TMPDIR"] = args["tmpdir"]
+    import tempfile
+
+    tempfile.tempdir = args["tmpdir"]
+    from recidiviz_data_spark.operators.cdcops import ensure_changelog
+
+    cl = ensure_changelog("t5race", args["params"])
+    return os.path.exists(os.path.join(cl, "_GEN_SUCCESS"))
+
+
+def test_ensure_changelog_multiprocess_race(tmp_path):
+    """Three real processes racing the publish of one changelog (with a
+    stale pre-rename-era dir planted at the path) all end with a complete
+    published dir — nobody deletes another racer's publication and no lock
+    file is left behind (the r4 TOCTOU, exercised for real)."""
+    import multiprocessing as mp
+
+    import recidiviz_data_spark.operators.cdcops as cdcops
+
+    params = dict(n_docs=40, n_events=160, n_batches=2, seed=5)
+    import tempfile as _tf
+
+    old = _tf.tempdir
+    _tf.tempdir = str(tmp_path)
+    try:
+        cl = cdcops.changelog_dir("t5race", params)
+    finally:
+        _tf.tempdir = old
+    os.makedirs(cl)
+    with open(os.path.join(cl, "stale.bin"), "w") as f:
+        f.write("partial")  # no sentinel: a stale dir blocks every rename
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(3) as pool:
+        results = pool.map(
+            _race_ensure_changelog,
+            [{"tmpdir": str(tmp_path), "params": params}] * 3,
+        )
+    assert results == [True, True, True]
+    assert os.path.exists(os.path.join(cl, "_GEN_SUCCESS"))
+    assert not os.path.exists(os.path.join(cl, "stale.bin"))
+    assert not os.path.exists(cl + ".lock")
+
+
 def test_stats_filter_on_internal_seq(spark, tmp_path):
     """A stats_filter on ``_seq`` (recorded in per-file stats) must work
     under the default include_internal=False — the residual predicate runs
@@ -303,6 +350,37 @@ def test_ivf_index_search_matches_inmemory(spark):
     from recidiviz_data_spark.plans.checks import assert_partition_filter
 
     assert_partition_filter(ivf_index_search(spark, path, q, k=3, nprobe=1), "cell")
+
+
+def test_ivf_index_refresh_retrains(spark, tmp_path):
+    """Refreshing a built index (one more Lloyd pass over its contents +
+    re-assign) serves the SAME top-k as the in-memory pipeline run with one
+    extra refinement iteration — the periodic re-train path after many
+    appends."""
+    import shutil
+
+    from recidiviz_data_spark.operators.similarity import (
+        _scaled,
+        ivf_index_build,
+        ivf_index_refresh,
+        ivf_index_search,
+        ivf_search,
+    )
+
+    cached = ivf_index_build(spark, SF_DIR)  # built once per source identity
+    path = str(tmp_path / "ivfidx_refresh")
+    shutil.copytree(cached, path)  # refresh rewrites — never touch the cache
+    ivf_index_refresh(spark, path)
+    q = _scaled(spark, SF_DIR).filter("vec_id < 10")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ivf_index_search(spark, path, q, k=3, nprobe=1).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ivf_search(spark, SF_DIR, k=3, nprobe=1, lloyd_iters=2).collect()
+    )
+    assert got == want
 
 
 def test_ivf_index_append_incremental(spark, tmp_path):
