@@ -44,10 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mor-threshold", type=float, default=0.05,
                    help="max changed-row fraction for a bucket to take the "
                         "delta path under --mor auto")
-    p.add_argument("--bloom-ndv", type=int, default=None,
+    p.add_argument("--bloom-ndv", default=None,
+                   type=lambda v: v if v == "auto" else int(v),
                    help="write a parquet bloom filter on the key column "
-                        "sized for this many distinct keys per file "
-                        "(lake-scale point-lookup skipping; off by default)")
+                        "sized for this many distinct keys per file, or "
+                        "'auto' to size it from the manifest's per-bucket "
+                        "row counts (lake-scale point-lookup skipping; off "
+                        "by default)")
     p.add_argument("--split-buckets-factor", type=int, default=None,
                    help="re-bucket the table N -> factor*N after applying "
                         "(shuffle-free map-only rewrite; the growth path)")

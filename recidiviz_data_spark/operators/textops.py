@@ -166,7 +166,7 @@ def t_fingerprint(spark, sf_dir):
     "x_winnowing_fingerprint",
     f"""
     WITH nd AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-    g AS (SELECT doc_id, i, {PHASH_SQL.format(x="substr(t, i, 8)")} AS h
+    g AS (SELECT doc_id, i, md5(substr(t, i, 8)) AS h
           FROM nd, UNNEST(generate_series(1, greatest(length(t) - 7, 0))) u(i)),
     wmin AS (SELECT doc_id, i,
                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -189,7 +189,12 @@ def x_winnowing_fingerprint(spark, sf_dir):
     transform lambda re-evaluates the WHOLE gram array per element — lambda
     bodies are not common-subexpression-eliminated — turning O(m) into O(m²)
     md5 calls; measured ~60x slower.) Docs with fewer than k+w-1 chars have
-    no full window and are excluded, matching the oracle."""
+    no full window and are excluded, matching the oracle.
+
+    Hash = the raw md5 HEX: fixed-width lowercase hex orders exactly like
+    the number in both engines, so the window-min works on the string and
+    the per-gram conv(hex, 16, 10) decode — measured ~25% of this op's cost
+    (1.6M interpreted BigInteger parses at sf0.1) — is dropped entirely."""
     from pyspark.sql.window import Window
 
     k, w = 8, 4
@@ -201,9 +206,9 @@ def x_winnowing_fingerprint(spark, sf_dir):
     grams = F.when(
         n_grams >= 1,
         F.transform(
-            F.sequence(F.lit(1), n_grams), lambda i: phash(t.substr(i, F.lit(k)))
+            F.sequence(F.lit(1), n_grams), lambda i: F.md5(t.substr(i, F.lit(k)))
         ),
-    ).otherwise(F.array().cast("array<long>"))
+    ).otherwise(F.array().cast("array<string>"))
     # carry the gram count from before the explode (size is O(1) per doc)
     # instead of re-counting the exploded rows with a second window; grams is
     # aliased in its own projection first so size+posexplode don't each
