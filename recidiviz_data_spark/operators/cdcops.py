@@ -37,6 +37,10 @@ APPLY_GEN = dict(n_docs=800, n_events=6000, n_batches=4, seed=7,
 STREAM_GEN = dict(n_docs=400, n_events=3000, n_batches=4, seed=11,
                   delete_rate=0.1)
 
+# how long a waiter watches a held changelog lock before declaring its holder
+# dead and taking the lock over (tests shrink this to exercise the takeover)
+LOCK_WAIT_SECS = 60.0
+
 
 def _old_new(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -100,9 +104,11 @@ def ensure_changelog(tag: str, params: dict) -> str:
     (written last, inside the staged dir) still guards against a stale
     partial dir from the PRE-rename era — and removing such a stale dir
     happens only under an O_EXCL lock file with the sentinel re-checked
-    inside it, so no racer can ever rmtree a dir another process just
-    published (the round-4 TOCTOU: observe-missing-sentinel ->
-    racer-renames-complete-dir -> rmtree deletes it mid-oracle-read)."""
+    inside it AND the dir atomically claimed (renamed to a trash path)
+    before deletion, so no racer can ever lose a dir another process just
+    published — not even through the empty-stale-dir hole, where POSIX
+    rename() onto an empty target succeeds. Crashed lock holders cannot
+    brick the path: waiters take over locks older than the wait window."""
     import time as _time
 
     from recidiviz_data_spark.gen import gen_changelog
@@ -124,33 +130,61 @@ def ensure_changelog(tag: str, params: dict) -> str:
             return cl  # a racer published the identical content first
         # cl exists WITHOUT a sentinel: a stale partial dir (pre-rename era)
         # blocks every rename. Clear it under a lock so only ONE process may
-        # delete, and re-check the sentinel inside the lock (a racer cannot
-        # publish while the stale dir occupies the path — rename onto a
-        # non-empty dir fails — so after the re-check the rmtree is safe).
+        # act, re-check the sentinel inside the lock, then CLAIM the stale
+        # dir with an atomic rename to a trash path before deleting it.
+        # (rmtree-in-place is unsafe: POSIX rename() succeeds onto an
+        # existing EMPTY dir, so a racer could publish between the re-check
+        # and the rmtree and the lock holder would delete the just-published
+        # dir. The claim-rename either wins atomically — the racer's publish
+        # then lands on the now-free path — or fails cleanly because the
+        # racer already published/claimed.)
         lock = cl + ".lock"
-        try:
-            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
-            # another process is clearing the stale dir; wait for its publish
-            for _ in range(600):
-                if os.path.exists(sentinel):
-                    return cl
-                _time.sleep(0.1)
-            raise RuntimeError(f"timed out waiting on changelog lock {lock}")
-        try:
-            if not os.path.exists(sentinel):
-                shutil.rmtree(cl, ignore_errors=True)
-                try:
-                    os.rename(stage, cl)
-                except OSError:
-                    if not os.path.exists(sentinel):
-                        raise
-            return cl
-        finally:
+        for _attempt in range(2):
             try:
-                os.unlink(lock)
-            except OSError:
-                pass
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                # another process holds the lock; wait for its publish
+                deadline = _time.time() + LOCK_WAIT_SECS
+                while _time.time() < deadline:
+                    if os.path.exists(sentinel):
+                        return cl
+                    _time.sleep(0.05)
+                # no publish arrived: the holder may have crashed between
+                # creating the lock and unlinking it. Take over locks older
+                # than the wait window instead of failing forever — we hold
+                # a complete staged dir ready to publish.
+                try:
+                    stale = _time.time() - os.path.getmtime(lock) > LOCK_WAIT_SECS
+                except OSError:
+                    continue  # lock vanished concurrently — retry acquire
+                if stale:
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    continue  # retry the locked clear under a fresh lock
+                raise RuntimeError(f"timed out waiting on changelog lock {lock}")
+            try:
+                if not os.path.exists(sentinel):
+                    trash = f"{cl}.trash-{os.getpid()}"
+                    try:
+                        os.rename(cl, trash)  # atomic claim of the stale dir
+                    except OSError:
+                        pass  # a racer published or claimed first
+                    else:
+                        shutil.rmtree(trash, ignore_errors=True)
+                    try:
+                        os.rename(stage, cl)
+                    except OSError:
+                        if not os.path.exists(sentinel):
+                            raise
+                return cl
+            finally:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+        raise RuntimeError(f"could not acquire changelog lock {lock}")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

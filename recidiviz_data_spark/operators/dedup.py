@@ -616,23 +616,29 @@ def x_neardup_clusters(spark, sf_dir, docs=None):
     )
 
 
-def materialize_neardup_clusters(spark, sf_dir) -> str:
-    """Persist the x_neardup_clusters output as a parquet cluster table
-    (keyed on the documents parquet's identity, so regenerated testdata
-    invalidates it). The production shape: the Jaccard + connected-
-    components pass runs ONCE per corpus snapshot; every consumer — the
-    funnel report, keeper filters, audits — reads the persisted table
-    instead of re-running the clustering (round-4 verdict item 4)."""
+def materialize_neardup_clusters(spark, sf_dir, *, key: str | None = None) -> str:
+    """Persist the x_neardup_clusters output as a parquet cluster table,
+    published through the versioned artifact store (immutable version dir +
+    atomic CURRENT flip — a racing reader sees a complete old or new table,
+    never an in-place overwrite in flight; ADVICE r5). Cache-keyed on the
+    documents parquet's identity by default (regenerated testdata
+    invalidates it); pass ``key=artifacts.miniberg_source_key(table)`` to
+    key on a CDC source's snapshot version instead. The production shape:
+    the Jaccard + connected-components pass runs ONCE per corpus snapshot;
+    every consumer — the funnel report, keeper filters, audits — reads the
+    persisted table instead of re-running the clustering."""
     import os
     import tempfile
 
     from recidiviz_data_spark.operators.relational import _roundtrip_cache_tag
+    from recidiviz_data_spark.tables import artifacts
 
     tag = _roundtrip_cache_tag(sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), f"rds_clusters_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        x_neardup_clusters(spark, sf_dir).write.mode("overwrite").parquet(path)
-    return path
+    base = os.path.join(tempfile.gettempdir(), f"rds_clusters_{tag}")
+    key = key or f"parquet:{tag}"
+    return artifacts.ensure(
+        base, key, lambda stage: x_neardup_clusters(spark, sf_dir).write.parquet(stage)
+    )
 
 
 SPAN_LEN = 8  # words per span for substring-level dedup

@@ -109,8 +109,14 @@ def _update_sessions(
     is the final answer)."""
     start, last, n = state.get if state.exists else (-1, -1, 0)
     rows: list[tuple[int, int]] = []  # (session_start_us, n_events)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # applyInPandasWithState gives NO intra-group ordering and splits a
+    # group's micro-batch data into multiple Arrow chunks past
+    # arrow.maxRecordsPerBatch — sorting per chunk but folding in arrival
+    # order would misorder events across chunk boundaries. Concatenate the
+    # whole micro-batch first, then sort ONCE.
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for ts_us in pdf["ts"].astype("datetime64[us]").astype("int64"):
             ts_us = int(ts_us)
             if start < 0:

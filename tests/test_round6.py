@@ -1,0 +1,259 @@
+"""Round-6 additions: ADVICE-r5 fixes (multi-chunk session fold, changelog
+lock takeover + atomic stale-dir claim, atomic artifact publication) and the
+round-6 build items (versioned derived-index artifacts, persisted minhash
+band index, third manifest level)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.01")
+
+
+# ------------------------------------------------------- ADVICE r5 fixes
+def test_ensure_changelog_empty_stale_dir(tmp_path, monkeypatch):
+    """An EMPTY stale dir (the one case POSIX rename() can silently land on)
+    is claimed atomically and replaced — the publish still completes and no
+    lock/trash debris is left behind."""
+    import tempfile
+
+    from recidiviz_data_spark.operators import cdcops
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    params = dict(n_docs=20, n_events=60, n_batches=2, seed=13)
+    cl = cdcops.changelog_dir("t6empty", params)
+    os.makedirs(cl)  # empty stale dir, no sentinel
+    got = cdcops.ensure_changelog("t6empty", params)
+    assert got == cl
+    assert os.path.exists(os.path.join(cl, "_GEN_SUCCESS"))
+    assert not os.path.exists(cl + ".lock")
+    import glob
+
+    assert glob.glob(cl + ".trash-*") == []
+
+
+def test_ensure_changelog_stale_lock_takeover(tmp_path, monkeypatch):
+    """A lock file orphaned by a crashed holder (older than the wait window)
+    is taken over instead of bricking the path forever (ADVICE r5): the
+    waiter publishes its own complete staged dir."""
+    import tempfile
+    import time
+
+    from recidiviz_data_spark.operators import cdcops
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(cdcops, "LOCK_WAIT_SECS", 0.5)
+    params = dict(n_docs=20, n_events=60, n_batches=2, seed=17)
+    cl = cdcops.changelog_dir("t6lock", params)
+    # a stale partial dir blocks the rename AND an orphaned lock blocks the
+    # locked clear — the holder "crashed" long ago (mtime in the past)
+    os.makedirs(cl)
+    with open(os.path.join(cl, "junk.bin"), "w") as f:
+        f.write("partial")
+    lock = cl + ".lock"
+    with open(lock, "w"):
+        pass
+    past = time.time() - 120
+    os.utime(lock, (past, past))
+    got = cdcops.ensure_changelog("t6lock", params)
+    assert got == cl
+    assert os.path.exists(os.path.join(cl, "_GEN_SUCCESS"))
+    assert not os.path.exists(os.path.join(cl, "junk.bin"))
+    assert not os.path.exists(lock)
+
+
+def test_stream_sessions_multichunk_groups(spark):
+    """Session folding must stay time-ordered when one user's micro-batch
+    data spans MULTIPLE Arrow chunks (ADVICE r5: applyInPandasWithState
+    gives no intra-group ordering; chunks must be concatenated and sorted
+    once, not sorted per chunk and folded in arrival order)."""
+    from recidiviz_data_spark.operators.relational import x_session_window
+    from recidiviz_data_spark.streaming.stateful import stream_session_state
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")  # force several chunks per group per batch
+    try:
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in stream_session_state(
+                spark, sf, n_files=2, query_name="_session_state_mc"
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in x_session_window(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_update_sessions_folds_across_chunks_in_time_order():
+    """Direct fold check: events split across chunks OUT of time order (later
+    events in the first chunk) must still fold chronologically — one session
+    for gap-free events, correct splits otherwise."""
+    import pandas as pd
+
+    from recidiviz_data_spark.streaming import stateful
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.val = v
+
+    def _pdf(ts_list, ids):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(pd.Series(ts_list)), "event_id": ids,
+             "user_id": [1] * len(ids), "event_type": ["c"] * len(ids),
+             "value": [0.0] * len(ids), "props": [""] * len(ids)}
+        )
+
+    # chunk 1 holds the LATER events; a 40-min gap sits between e2 and e3
+    chunks = iter([
+        _pdf(["2024-01-01 10:40:00", "2024-01-01 10:45:00"], [3, 4]),
+        _pdf(["2024-01-01 10:00:00", "2024-01-01 10:01:00"], [1, 2]),
+    ])
+    st = _FakeState()
+    [out] = list(stateful._update_sessions((1,), chunks, st))
+    rows = sorted(zip(out["session_start"], out["n_events"]))
+    assert rows == [("2024-01-01 10:00:00", 2), ("2024-01-01 10:40:00", 2)]
+    assert st.val[2] == 2  # open session carries 2 events, not a misfold
+
+
+# ------------------------------------------- versioned artifact store (r6 #1)
+def test_artifact_store_atomic_flip_under_concurrent_publishes(tmp_path):
+    """A reader racing continuous re-publications must ALWAYS observe a
+    self-consistent payload (every file from the same version) — the atomic
+    CURRENT flip, exercised with a writer thread republishing in a loop."""
+    import threading
+
+    from recidiviz_data_spark.tables import artifacts
+
+    base = str(tmp_path / "art")
+
+    def _mk(tag):
+        def _build(stage):
+            os.makedirs(stage)
+            for name in ("a.txt", "b.txt"):
+                with open(os.path.join(stage, name), "w") as f:
+                    f.write(tag)
+        return _build
+
+    artifacts.publish(base, "k0", _mk("gen0"))
+    stop = threading.Event()
+    err: list[str] = []
+
+    def _writer():
+        for i in range(1, 30):
+            if stop.is_set():
+                break
+            artifacts.publish(base, f"k{i}", _mk(f"gen{i}"))
+
+    t = threading.Thread(target=_writer)
+    t.start()
+    try:
+        for _ in range(2000):
+            r = artifacts.resolve(base)
+            assert r is not None
+            payload, _key = r
+            try:
+                with open(os.path.join(payload, "a.txt")) as f:
+                    a = f.read()
+                with open(os.path.join(payload, "b.txt")) as f:
+                    b = f.read()
+            except FileNotFoundError:
+                err.append(f"torn payload at {payload}")
+                break
+            if a != b:
+                err.append(f"mixed versions: {a} vs {b}")
+                break
+    finally:
+        stop.set()
+        t.join()
+    assert err == []
+
+
+def test_ivf_refresh_is_atomic_for_inflight_readers(spark, tmp_path):
+    """An in-flight reader that resolved the index BEFORE a refresh keeps a
+    complete immutable payload; a reader resolving AFTER sees the new one.
+    No state ever mixes new centroids with old cells (round-5 verdict
+    `weak`)."""
+    import shutil
+
+    from recidiviz_data_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_refresh,
+    )
+    from recidiviz_data_spark.tables import artifacts
+
+    cached = ivf_index_build(spark, SF_DIR)
+    base = str(tmp_path / "ivf_atomic")
+    shutil.copytree(cached, base)
+    p_old, _ = artifacts.resolve(base)
+
+    def _listing(p):
+        out = []
+        for root, _d, files in os.walk(p):
+            for n in files:
+                fp = os.path.join(root, n)
+                out.append((os.path.relpath(fp, p), os.path.getsize(fp)))
+        return sorted(out)
+
+    before = _listing(p_old)
+    ivf_index_refresh(spark, base)
+    p_new, _ = artifacts.resolve(base)
+    assert p_new != p_old
+    # the old version is untouched — an in-flight reader finishes cleanly
+    assert _listing(p_old) == before
+    for sub in ("vectors", "centroids"):
+        assert os.path.isdir(os.path.join(p_new, sub))
+
+
+def test_ivf_index_keyed_on_miniberg_snapshot_version(spark, tmp_path):
+    """An index built over a CDC table is cache-keyed on the table's
+    SNAPSHOT VERSION: the same snapshot reuses the payload; a commit
+    invalidates it and the next ensure() rebuilds (round-5 verdict item 1:
+    'the cache key becomes the source table's snapshot version')."""
+    from recidiviz_data_spark.operators.similarity import (
+        _dot,
+        ivf_index_build,
+    )
+    from recidiviz_data_spark.tables import artifacts
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("v", T.ArrayType(T.LongType())),
+    ])
+    table = Miniberg.create(str(tmp_path / "vecs"), schema, key_col="vec_id",
+                            num_buckets=2)
+    v0 = table.current_version()
+
+    def _vectors():
+        rows = [(i, f"l{i % 3}", [((i * 7 + d) % 13) - 6 for d in range(8)])
+                for i in range(64)]
+        df = spark.createDataFrame(rows, schema)
+        return df.withColumn("n2", _dot(F.col("v"), F.col("v")).cast("double"))
+
+    base = str(tmp_path / "ivf_snap")
+    key0 = artifacts.miniberg_source_key(table)
+    assert key0.endswith(f":v{v0}")
+    ivf_index_build(spark, "unused", base, vectors=_vectors(), key=key0)
+    p0, k0 = artifacts.resolve(base)
+    # same snapshot -> same payload (cache hit, no rebuild)
+    ivf_index_build(spark, "unused", base, vectors=_vectors(), key=key0)
+    assert artifacts.resolve(base) == (p0, k0)
+    # a commit moves the snapshot version -> the key changes -> rebuild
+    table.commit(added_files=[], replaced_buckets=set(), props={"touch": "1"})
+    key1 = artifacts.miniberg_source_key(table)
+    assert key1 != key0
+    ivf_index_build(spark, "unused", base, vectors=_vectors(), key=key1)
+    p1, k1 = artifacts.resolve(base)
+    assert p1 != p0 and k1 == key1
