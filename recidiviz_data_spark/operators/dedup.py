@@ -94,7 +94,15 @@ def _shingles_capped(spark, sf_dir, docs=None):
     n_docs = (docs if docs is not None else load(spark, sf_dir, "documents")).select(
         F.countDistinct("doc_id").alias("nd")
     )
-    hot = (
+    return sh.join(F.broadcast(_hot_shingles(sh, n_docs)), "shingle", "left_anti")
+
+
+def _hot_shingles(sh, n_docs):
+    """Shingles whose document frequency exceeds DF_CAP_NUM/DF_CAP_DEN of the
+    corpus — THE hot list (one groupBy; provably tiny, see DF_CAP_* above).
+    Shared by the in-session capped set and the persisted band index, which
+    FREEZES this list as a side artifact so incremental appends reuse it."""
+    return (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
@@ -102,7 +110,6 @@ def _shingles_capped(spark, sf_dir, docs=None):
         .filter(F.col("df") * DF_CAP_DEN > F.col("nd") * DF_CAP_NUM)
         .select("shingle")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 _SHINGLES_SQL = """
@@ -252,13 +259,15 @@ def d_minhash_lsh(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
     )
 
 
-def _minhash_bands(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
-    """(doc_id, band, h_lo, h_hi) LSH band rows over the DF-capped shingle
-    set, oversize band buckets dropped — the minhash INDEX a corpus would
-    materialize once and probe incrementally."""
-    sh = _shingles_capped(spark, sf_dir, docs=docs).withColumn(
-        "h", F.pmod(phash(F.col("shingle")), F.lit(LSH_P))
-    )
+def _band_rows(sh):
+    """UNCAPPED (doc_id, band, h_lo, h_hi) LSH band rows from a (DF-capped)
+    shingle set: one md5 per shingle, 8 affine lanes min-aggregated in ONE
+    groupBy, exploded to 4 band rows per doc. The raw signature pipeline
+    shared by the in-session index (`_minhash_bands`, which adds the
+    bucket-size cap) and the persisted band index (`band_index_build` /
+    `band_index_append`, which store sizes separately so the cap composes
+    across appends)."""
+    sh = sh.withColumn("h", F.pmod(phash(F.col("shingle")), F.lit(LSH_P)))
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(j)) % F.lit(LSH_P)).alias(f"mh{j}")
@@ -280,6 +289,15 @@ def _minhash_bands(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.h_lo", "bs.h_hi")
+    return bands
+
+
+def _minhash_bands(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
+    """(doc_id, band, h_lo, h_hi) LSH band rows over the DF-capped shingle
+    set, oversize band buckets dropped — the minhash INDEX a corpus would
+    materialize once and probe incrementally (``band_index_build`` is its
+    persisted, append-able form)."""
+    bands = _band_rows(_shingles_capped(spark, sf_dir, docs=docs))
     # candidate budget: drop band buckets larger than the cap BEFORE the pair
     # join (see MINHASH_BAND_CAP). A whole-partition window count computes
     # bucket sizes in the SAME single pass (no second evaluation of the
@@ -323,6 +341,170 @@ def x_incremental_neardup(spark, sf_dir):
     it), the index is partitioned by band key, and no corpus self-join ever
     runs again. Demo split: docs 0-249 = corpus index, 250+ = incoming."""
     bands = _minhash_bands(spark, sf_dir)
+    idx = bands.filter(F.col("doc_id") < 250).alias("a")
+    probe = bands.filter(F.col("doc_id") >= 250).alias("b")
+    return (
+        idx.join(
+            probe,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h_lo") == F.col("b.h_lo"))
+            & (F.col("a.h_hi") == F.col("b.h_hi")),
+        )
+        .groupBy(F.col("b.doc_id").alias("new_doc"), F.col("a.doc_id").alias("corpus_doc"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+# --------------------------------------------------------------------------
+# persisted minhash band index (round-5 verdict item 4): the band rows as an
+# on-disk incremental artifact with the same build/append lifecycle the IVF
+# index got — published through the versioned artifact store, so appends and
+# rebuilds are atomic version flips a racing prober can never half-observe.
+#
+# Layout per version: bands/   UNCAPPED (doc_id, band, h_lo, h_hi) rows,
+#                              partitioned by band (at lake scale: bucketed
+#                              by the full band key);
+#                     sizes/   (band, h_lo, h_hi, n) bucket sizes — the cap
+#                              is applied at PROBE time against the merged
+#                              sizes, so it stays exact across appends;
+#                     hot/     the FROZEN hot-shingle list the index was
+#                              built with — appends reuse it (the sampled
+#                              side-artifact shape _shingles_capped's
+#                              docstring promises for production).
+
+
+def band_index_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from recidiviz_data_spark.operators.relational import _roundtrip_cache_tag
+
+    tag = _roundtrip_cache_tag(sf_dir, "documents")
+    return os.path.join(tempfile.gettempdir(), f"rds_bandidx_{tag}")
+
+
+def band_index_build(spark, sf_dir, path: str | None = None, *,
+                     docs=None, key: str | None = None) -> str:
+    """Build the persisted minhash band index over a corpus snapshot.
+    Idempotent per source identity (or per explicit snapshot ``key``);
+    returns the artifact base dir. One signature pass over the corpus: the
+    written bands parquet is read back for the sizes aggregate, so the
+    md5/lane pipeline runs exactly once."""
+    import os
+
+    from recidiviz_data_spark.operators.relational import _roundtrip_cache_tag
+    from recidiviz_data_spark.tables import artifacts
+
+    base = path or band_index_path(sf_dir)
+    key = key or f"parquet:{_roundtrip_cache_tag(sf_dir, 'documents')}"
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage)
+        sh = _shingles(spark, sf_dir, docs=docs).localCheckpoint()
+        n_docs = (docs if docs is not None else load(spark, sf_dir, "documents")).select(
+            F.countDistinct("doc_id").alias("nd")
+        )
+        hot = _hot_shingles(sh, n_docs).localCheckpoint()  # tiny; written + joined
+        hot.write.parquet(os.path.join(stage, "hot"))
+        capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        _band_rows(capped).write.partitionBy("band").parquet(
+            os.path.join(stage, "bands")
+        )
+        written = spark.read.parquet(os.path.join(stage, "bands"))
+        written.groupBy("band", "h_lo", "h_hi").agg(F.count("*").alias("n")).write.parquet(
+            os.path.join(stage, "sizes")
+        )
+
+    artifacts.ensure(base, key, _build)
+    return base
+
+
+def band_index_append(spark, path: str, new_docs) -> int:
+    """Incremental ingest: compute band rows for the NEW batch only (its
+    shingles filtered by the index's FROZEN hot list — no corpus re-scan,
+    the exact analog of ivf_index_append's assign-to-existing-centroids),
+    then publish a new index version: unchanged band files carried as
+    hardlinks, appended rows added, sizes merged. Atomic flip — a racing
+    prober sees the whole old or whole new index. Returns appended rows."""
+    import os
+
+    from recidiviz_data_spark.tables import artifacts
+
+    r = artifacts.resolve(path)
+    payload, old_key = (r if r is not None else (path, "raw"))
+    hot = spark.read.parquet(os.path.join(payload, "hot"))
+    sh_new = _shingles(spark, None, docs=new_docs).join(
+        F.broadcast(hot), "shingle", "left_anti"
+    )
+    new_bands = _band_rows(sh_new).localCheckpoint()  # written + size-merged
+    n = new_bands.count()
+    old_sizes = spark.read.parquet(os.path.join(payload, "sizes"))
+    merged = (
+        old_sizes.withColumnRenamed("n", "n_old")
+        .join(
+            new_bands.groupBy("band", "h_lo", "h_hi").agg(F.count("*").alias("n_new")),
+            ["band", "h_lo", "h_hi"],
+            "full_outer",
+        )
+        .select(
+            "band", "h_lo", "h_hi",
+            (F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))).alias("n"),
+        )
+        .localCheckpoint()  # sizes must be computed BEFORE staging links them
+    )
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage)
+        artifacts.link_tree(os.path.join(payload, "bands"), os.path.join(stage, "bands"))
+        artifacts.link_tree(os.path.join(payload, "hot"), os.path.join(stage, "hot"))
+        new_bands.write.mode("append").partitionBy("band").parquet(
+            os.path.join(stage, "bands")
+        )
+        merged.write.parquet(os.path.join(stage, "sizes"))
+
+    artifacts.publish(path, artifacts.mutated_key(old_key), _build)
+    return n
+
+
+def band_index_bands(spark, path: str, *, band_cap=MINHASH_BAND_CAP):
+    """The index's CAP-FILTERED band rows — buckets whose MERGED size exceeds
+    ``band_cap`` are dropped exactly as the in-session window cap drops them
+    (the flood guard stays exact across appends because sizes are totals,
+    not per-build counts). Both reads resolve the same immutable version."""
+    import os
+
+    from recidiviz_data_spark.tables import artifacts
+
+    r = artifacts.resolve(path)
+    payload = r[0] if r is not None else path
+    bands = spark.read.parquet(os.path.join(payload, "bands"))
+    ok = (
+        spark.read.parquet(os.path.join(payload, "sizes"))
+        .filter(F.col("n") <= band_cap)
+        .select("band", "h_lo", "h_hi")
+    )
+    return bands.join(ok, ["band", "h_lo", "h_hi"])
+
+
+@_qx(
+    "x_incremental_neardup_indexed",
+    f"""
+    WITH {_SHINGLES_CAPPED_SQL},
+    {_MINHASH_SQL}
+    SELECT b.doc_id AS new_doc, a.doc_id AS corpus_doc, COUNT(*) AS n_bands_shared
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+     AND a.doc_id < 250 AND b.doc_id >= 250
+    GROUP BY 1, 2
+    """,
+)
+def x_incremental_neardup_indexed(spark, sf_dir):
+    """x_incremental_neardup served from the PERSISTED band index: built once
+    per corpus snapshot (versioned artifact, atomic flips), then the probe
+    reads band rows + merged bucket sizes from disk — the corpus signature
+    pipeline never re-runs per probe. Same oracle as the in-session form:
+    the materialization must not change a single candidate pair."""
+    bands = band_index_bands(spark, band_index_build(spark, sf_dir))
     idx = bands.filter(F.col("doc_id") < 250).alias("a")
     probe = bands.filter(F.col("doc_id") >= 250).alias("b")
     return (

@@ -257,3 +257,86 @@ def test_ivf_index_keyed_on_miniberg_snapshot_version(spark, tmp_path):
     ivf_index_build(spark, "unused", base, vectors=_vectors(), key=key1)
     p1, k1 = artifacts.resolve(base)
     assert p1 != p0 and k1 == key1
+
+
+# --------------------------------------------- persisted band index (r6 #4)
+def test_band_index_append_matches_frozen_hot_rebuild(spark, tmp_path):
+    """An index built from part of the corpus and appended with the rest
+    holds IDENTICAL band rows to computing all docs' signatures against the
+    same FROZEN (part-built) hot-shingle list — corpus-side work never
+    re-runs on ingest (the minhash mirror of the IVF append contract), and
+    the merged sizes equal a fresh aggregate of the combined rows."""
+    from recidiviz_data_spark.operators.dedup import (
+        _band_rows,
+        _hot_shingles,
+        _shingles,
+        band_index_append,
+        band_index_build,
+        band_index_bands,
+    )
+    from recidiviz_data_spark.operators.relational import load
+    from recidiviz_data_spark.tables import artifacts
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    part = docs.filter("doc_id % 3 != 0")
+    rest = docs.filter("doc_id % 3 = 0")
+    base = str(tmp_path / "bandidx")
+    band_index_build(spark, sf, base, docs=part, key="part-v0")
+    p_before, _ = artifacts.resolve(base)
+    n = band_index_append(spark, base, rest)
+    assert n > 0
+    p_after, k_after = artifacts.resolve(base)
+    assert p_after != p_before and k_after != "part-v0"  # mutated key
+
+    got = sorted(
+        (r["doc_id"], r["band"], r["h_lo"], r["h_hi"])
+        for r in spark.read.parquet(os.path.join(p_after, "bands")).collect()
+    )
+    sh_part = _shingles(spark, sf, docs=part)
+    hot = _hot_shingles(
+        sh_part, part.select(F.countDistinct("doc_id").alias("nd"))
+    ).localCheckpoint()
+    want_df = _band_rows(
+        _shingles(spark, sf).join(F.broadcast(hot), "shingle", "left_anti")
+    )
+    want = sorted(
+        (r["doc_id"], r["band"], r["h_lo"], r["h_hi"]) for r in want_df.collect()
+    )
+    assert got == want
+    # merged sizes == fresh aggregate over the combined rows
+    sizes = {
+        (r["band"], r["h_lo"], r["h_hi"]): r["n"]
+        for r in spark.read.parquet(os.path.join(p_after, "sizes")).collect()
+    }
+    from collections import Counter
+
+    want_sizes = Counter((b, lo, hi) for _d, b, lo, hi in want)
+    assert sizes == dict(want_sizes)
+    # the capped probe view applies the merged-size flood guard
+    capped = band_index_bands(spark, base)
+    assert capped.count() == sum(v for v in sizes.values() if v <= 200)
+
+
+def test_band_index_probe_matches_in_session_index(spark):
+    """The persisted index (built over the full corpus snapshot) serves the
+    SAME capped band rows as the in-session `_minhash_bands` — so every
+    consumer (self-join pairs, incremental probes) gets identical candidates
+    from the materialized form."""
+    from recidiviz_data_spark.operators.dedup import (
+        _minhash_bands,
+        band_index_bands,
+        band_index_build,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = band_index_build(spark, sf)
+    got = sorted(
+        (r["doc_id"], r["band"], r["h_lo"], r["h_hi"])
+        for r in band_index_bands(spark, base).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["band"], r["h_lo"], r["h_hi"])
+        for r in _minhash_bands(spark, sf).collect()
+    )
+    assert got == want
