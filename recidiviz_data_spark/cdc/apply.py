@@ -318,7 +318,7 @@ def apply_batch(
     # O(buckets) summaries — the two-level manifest means the driver never
     # parses the file list on the apply path (reads load only touched
     # buckets' sidecars)
-    bucket_summ = Miniberg.bucket_summaries(m)
+    bucket_summ = table.bucket_summaries(m)
     total_target_bytes = sum(s.get("bytes", 0) for s in bucket_summ.values())
     prune = decision_prune is True or (
         decision_prune == "auto" and total_target_bytes >= DECISION_PRUNE_MIN_BYTES

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from recidiviz_data_spark.operators.base import _q, _qx
 from recidiviz_data_spark.operators.relational import load
 from recidiviz_data_spark.operators.textops import PHASH_SQL, phash
+from recidiviz_data_spark.session import materialize
 
 N_HASHES = 8
 N_BANDS = 4  # rows per band = 2
@@ -90,7 +91,7 @@ def _shingles_capped(spark, sf_dir, docs=None):
     files distinct() already writes; a production corpus would additionally
     maintain the hot list as a sampled side artifact instead of a full
     aggregation."""
-    sh = _shingles(spark, sf_dir, docs=docs).localCheckpoint()
+    sh = materialize(_shingles(spark, sf_dir, docs=docs))
     n_docs = (docs if docs is not None else load(spark, sf_dir, "documents")).select(
         F.countDistinct("doc_id").alias("nd")
     )
@@ -305,7 +306,7 @@ def _minhash_bands(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
     # CO-LOCATES the band key — the self-join below reuses that exchange.
     from pyspark.sql.window import Window as _W
 
-    return (
+    return materialize(
         bands.withColumn(
             "_c", F.count("*").over(_W.partitionBy("band", "h_lo", "h_hi"))
         )
@@ -316,7 +317,6 @@ def _minhash_bands(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
         # and the plain DAG re-runs the signature pipeline per side —
         # exactly the "materialized index" this function's docstring
         # promises (measured 2.7 -> 1.8 s at sf0.1)
-        .localCheckpoint()
     )
 
 
@@ -620,14 +620,13 @@ def d_simhash_banded(spark, sf_dir, band_cap=SIMHASH_BAND_CAP):
     # Single-pass window count (same co-located exchange the join reuses).
     from pyspark.sql.window import Window as _W
 
-    bandrows = (
+    bandrows = materialize(
         bandrows.withColumn("_c", F.count("*").over(_W.partitionBy("band", "bits")))
         .filter(F.col("_c") <= band_cap)
         .drop("_c")
         # materialized once: the a/b self-join below would otherwise re-run
         # the whole token-explode x32 signature pipeline per side
         # (measured 1.7 -> 1.4 s at sf0.1); 4 rows/doc, tiny to store
-        .localCheckpoint()
     )
     a, b = bandrows.alias("a"), bandrows.alias("b")
     cand = (

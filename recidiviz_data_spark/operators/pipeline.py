@@ -528,9 +528,13 @@ def x_token_scrub_pack(spark, sf_dir, docs=None):
     # reuse — measured 12 scans of documents without this). A real pipeline
     # persists the scrubbed corpus between stages anyway; localCheckpoint is
     # the in-session form (same precedent as connected_components).
-    ranked = kept.withColumn(
-        "r", F.row_number().over(_W.partitionBy("doc_id").orderBy("pos"))
-    ).localCheckpoint()
+    from recidiviz_data_spark.session import materialize
+
+    ranked = materialize(
+        kept.withColumn(
+            "r", F.row_number().over(_W.partitionBy("doc_id").orderBy("pos"))
+        )
+    )
     lens = ranked.groupBy(
         "doc_id", F.floor(F.col("doc_id") / PACK_BUCKET).cast("long").alias("b")
     ).agg(F.count("*").alias("n"))

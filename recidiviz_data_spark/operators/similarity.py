@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from recidiviz_data_spark.operators.base import _q, _qx
 from recidiviz_data_spark.operators.relational import load
 from recidiviz_data_spark.operators.textops import PHASH_SQL, phash
+from recidiviz_data_spark.session import materialize
 
 N_PLANES = 4  # LSH: 2^4 = 16 buckets over ~500 vectors at sf0.01
 
@@ -36,9 +37,9 @@ def _scaled(spark, sf_dir):
     # transform per consumer (measured: topk 1.0 -> 0.5 s, lsh 1.6 -> 1.1,
     # ivf 2.5 -> 1.6 at sf0.1). At lake scale this materialization IS the
     # persisted index layout — ivf_index_build writes exactly these columns.
-    return out.withColumn(
-        "n2", _dot(F.col("v"), F.col("v")).cast("double")
-    ).localCheckpoint()
+    return materialize(
+        out.withColumn("n2", _dot(F.col("v"), F.col("v")).cast("double"))
+    )
 
 
 _SCALED_SQL = """

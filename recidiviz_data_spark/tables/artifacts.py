@@ -27,8 +27,13 @@ miniberg manifest gives data files:
 
 Concurrency: two racing builders both publish complete versions; the last
 pointer flip wins and both contents are valid (artifacts here are
-deterministic functions of their key). Superseded versions are garbage-
-collected after a grace window long enough for in-flight readers.
+deterministic functions of their key). MUTATING lifecycles (append/refresh)
+are last-flip-wins too — two concurrent appends each build from the same
+parent and one append's rows are absent from the winner, so a deployment
+runs ONE index-maintenance writer per artifact (the standard contract for
+search-index ingest; readers need no coordination either way). Superseded
+versions are garbage-collected after a grace window that restarts at the
+moment a version is superseded, long enough for in-flight readers.
 """
 
 from __future__ import annotations
@@ -66,6 +71,7 @@ def publish(base: str, key: str, build_fn) -> str:
     complete payload there. Returns the published payload dir."""
     os.makedirs(base, exist_ok=True)
     stage = os.path.join(base, f"stage-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    prev = resolve(base)
     try:
         build_fn(stage)
         vname = f"v-{uuid.uuid4().hex[:12]}"
@@ -78,6 +84,14 @@ def publish(base: str, key: str, build_fn) -> str:
         os.rename(tmp, os.path.join(base, CURRENT))  # THE atomic flip
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    if prev is not None:
+        # restart the SUPERSEDED version's grace clock at the flip, not its
+        # creation: gc_versions keys on dir mtime, and a version published
+        # long ago but superseded just now still has in-flight readers
+        try:
+            os.utime(prev[0])
+        except OSError:
+            pass  # already GC'd by a racer — nothing to protect
     gc_versions(base)
     return os.path.join(base, vname)
 

@@ -55,7 +55,7 @@ def compact(
     unsorted hash-distributed writes."""
     m = table.manifest()
     per_bucket = {
-        b: s["n_files"] for b, s in Miniberg.bucket_summaries(m).items()
+        b: s["n_files"] for b, s in table.bucket_summaries(m).items()
     }
     todo = sorted(
         b for b, n in per_bucket.items()
@@ -82,7 +82,7 @@ def compact(
         # one file per bucket unless max_records_per_file splits it) — the
         # ndv estimate the caller would otherwise have to hand-compute
         rows_max = max(
-            (s.get("rows", 0) for b, s in Miniberg.bucket_summaries(m).items()
+            (s.get("rows", 0) for b, s in table.bucket_summaries(m).items()
              if b in set(todo)),
             default=0,
         )
@@ -192,7 +192,7 @@ def split_buckets(
 def table_stats(table: Miniberg) -> dict:
     """Operational summary: files/rows/bytes per bucket, snapshot count."""
     m = table.manifest()
-    summ = Miniberg.bucket_summaries(m)  # O(buckets): no sidecar reads
+    summ = table.bucket_summaries(m)  # O(buckets): no sidecar reads
     return {
         "version": m["version"],
         "snapshots": len(glob.glob(os.path.join(table.meta_dir, "v*.json"))),

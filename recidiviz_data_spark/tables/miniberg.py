@@ -42,13 +42,26 @@ entries live in content-addressed, immutable per-bucket sidecars under
 - legacy single-level manifests (a top-level ``files`` list) remain
   readable; the first commit on top of one migrates it to sidecars.
 
+THIRD LEVEL — BUCKET-RANGE MANIFESTS (gated on ``num_buckets >
+RANGE_LAYOUT_MIN_BUCKETS``): past ~10^4 buckets the O(buckets) inline
+``buckets`` map makes ``v{N}.json`` itself the commit bottleneck (13 MiB /
+0.85 s per incremental commit at 10^5 — measured, BENCH/BASELINE.md
+"Manifest metadata scale"). Above the gate the root instead holds ~sqrt(B)
+entries ``bucket_ranges.ranges[lo] = {path, n_files, rows, bytes,
+n_buckets}``, each pointing at an immutable content-addressed RANGE manifest
+(``meta/fm/``, same CAS rules as sidecars) holding that range's per-bucket
+summaries. A commit touching k buckets rewrites k range manifests + a
+KiB-scale root; untouched ranges are carried verbatim (same hash -> zero
+writes). Reads resolve bucket -> range -> sidecar with one extra hop.
+Below the gate nothing changes — the inline two-level layout stays, and a
+``split_buckets`` crossing the gate migrates the layout in that one commit.
+
 LIMITS (documented scale envelope; see maintenance.py for the mitigations):
 
-- **v{N}.json is O(buckets)** (~90 bytes/bucket): 10^5 buckets ≈ 13 MiB per
-  snapshot and 0.85 s per incremental commit (measured —
-  tools/manifest_scale_bench.py; design + numbers in BENCH/BASELINE.md
-  "Manifest metadata scale") — the practical bucket ceiling before a third
-  level (manifest-list of bucket-range manifests) would be needed. Compaction
+- **inline v{N}.json is O(buckets)** (~90 bytes/bucket): 10^5 buckets ≈
+  13 MiB per snapshot and 0.85 s per incremental commit (measured —
+  tools/manifest_scale_bench.py) — which is exactly why the third level
+  above kicks in past RANGE_LAYOUT_MIN_BUCKETS. Compaction
   (``compact``, or ``compact='auto'`` in apply) bounds files at
   ~``compact_files_per_bucket`` per bucket, so sidecars stay tiny.
 - **num_buckets is chosen at creation**, and a COW rewrite touches whole
@@ -65,6 +78,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import json
+import math
 import os
 import shutil
 import uuid
@@ -79,6 +93,11 @@ FORMAT = "miniberg/1"
 # _deleted: tombstone flag — deletes keep the row (payload nulled) so a
 #   later-arriving STALE update cannot resurrect the doc; reads filter these.
 INTERNAL_COLS = ("_seq", "_deleted")
+
+# third-level gate: tables with more buckets than this store per-bucket
+# summaries in bucket-RANGE manifests instead of inline in v{N}.json (see the
+# module docstring; tests monkeypatch this to exercise the layout cheaply)
+RANGE_LAYOUT_MIN_BUCKETS = 10_000
 
 # type-widening lattice (Iceberg's promotion rules subset)
 _WIDEN = {
@@ -145,10 +164,15 @@ class Miniberg:
             "num_buckets": num_buckets,
             "key_col": key_col,
             "bucket_expr": f"pmod(xxhash64({key_col}), {num_buckets})",
-            "buckets": {},  # two-level: bucket -> sidecar summary
             "last_applied_batch": -1,
             "props": props or {},
         }
+        if num_buckets > RANGE_LAYOUT_MIN_BUCKETS:
+            # third level: root holds bucket-RANGE manifest refs, not buckets
+            manifest["bucket_ranges"] = {"size": cls._range_size(num_buckets),
+                                         "ranges": {}}
+        else:
+            manifest["buckets"] = {}  # two-level: bucket -> sidecar summary
         t._write_manifest(0, manifest)
         return t
 
@@ -198,13 +222,22 @@ class Miniberg:
             os.unlink(tmp)
 
     # ------------------------------------------------------- two-level files
+    @staticmethod
+    def _sidecar_payload(entries: list[dict]) -> str:
+        return json.dumps(sorted(entries, key=lambda e: e["path"]), sort_keys=True)
+
     def _write_sidecar(self, entries: list[dict]) -> str:
         """Write one bucket's file-entry list as a content-addressed sidecar
         (``meta/fm/<md5>.json``). Immutable + idempotent: an unchanged bucket
         re-derives the same hash, so carrying it across snapshots writes
         nothing; two racing writers of the same content are both correct."""
+        return self._write_blob(self._sidecar_payload(entries))
+
+    def _write_blob(self, payload: str) -> str:
+        """Content-addressed immutable JSON blob under ``meta/fm/`` — THE
+        single write rule shared by bucket sidecars and bucket-range
+        manifests (same hashing, CAS, and GC-grace-refresh semantics)."""
         os.makedirs(self.fm_dir, exist_ok=True)
-        payload = json.dumps(sorted(entries, key=lambda e: e["path"]), sort_keys=True)
         h = hashlib.md5(payload.encode()).hexdigest()
         rel = os.path.join("meta", "fm", f"{h}.json")
         dest = os.path.join(self.root, rel)
@@ -217,11 +250,11 @@ class Miniberg:
             try:
                 os.link(tmp, dest)
             except FileExistsError:
-                pass  # same content-addressed sidecar already exists
+                pass  # same content-addressed blob already exists
             finally:
                 os.unlink(tmp)
         else:
-            # refresh mtime: reusing an existing (possibly orphaned) sidecar
+            # refresh mtime: reusing an existing (possibly orphaned) blob
             # must restart its GC grace window, or a concurrent gc_orphans
             # could unlink it between this write and our manifest CAS
             try:
@@ -229,18 +262,86 @@ class Miniberg:
             except OSError:
                 pass  # racing GC removed it — recreate
             if not os.path.exists(dest):
-                return self._write_sidecar(entries)
+                return self._write_blob(payload)
         return rel
+
+    # ---------------------------------------------- third-level range layout
+    @staticmethod
+    def _range_size(num_buckets: int) -> int:
+        """Buckets per range manifest: ~sqrt(B) balances root size against
+        per-commit range rewrites (10^5 buckets -> 316-entry root)."""
+        return max(1, math.isqrt(num_buckets))
+
+    @staticmethod
+    def _range_lo(bucket: int, size: int) -> str:
+        return str((bucket // size) * size)
+
+    def _load_range(self, rel_path: str) -> dict[str, dict]:
+        """A range manifest's {bucket_str: summary-with-path} map."""
+        with open(os.path.join(self.root, rel_path)) as f:
+            return json.load(f)
+
+    def _bucket_map(self, m: dict) -> dict[str, dict]:
+        """Full {bucket_str: summary-with-path} map regardless of layout —
+        O(buckets); pruned access goes through files()/_iter_bucket_summaries."""
+        if "bucket_ranges" in m:
+            out: dict[str, dict] = {}
+            for rs in m["bucket_ranges"]["ranges"].values():
+                out.update(self._load_range(rs["path"]))
+            return out
+        return dict(m.get("buckets", {}))
+
+    def _iter_bucket_summaries(self, m: dict, buckets: list[int] | None = None):
+        """(bucket_str, summary) pairs, loading ONLY the requested buckets'
+        range manifests under the third-level layout (the read-side hop:
+        bucket -> range -> sidecar)."""
+        if "bucket_ranges" in m:
+            size = m["bucket_ranges"]["size"]
+            ranges = m["bucket_ranges"]["ranges"]
+            if buckets is None:
+                for lo in sorted(ranges, key=int):
+                    yield from sorted(
+                        self._load_range(ranges[lo]["path"]).items(),
+                        key=lambda kv: int(kv[0]),
+                    )
+                return
+            want = {str(b) for b in buckets}
+            for lo in sorted({self._range_lo(int(b), size) for b in want}, key=int):
+                rs = ranges.get(lo)
+                if rs is None:
+                    continue
+                rm = self._load_range(rs["path"])
+                for bk in sorted(want, key=int):
+                    if bk in rm and self._range_lo(int(bk), size) == lo:
+                        yield bk, rm[bk]
+            return
+        bset = None if buckets is None else {str(b) for b in buckets}
+        for bk, s in m.get("buckets", {}).items():
+            if bset is None or bk in bset:
+                yield bk, s
 
     def _load_sidecar(self, rel_path: str) -> list[dict]:
         with open(os.path.join(self.root, rel_path)) as f:
             return json.load(f)
 
-    @staticmethod
-    def bucket_summaries(m: dict) -> dict[int, dict]:
-        """Per-bucket {n_files, rows, bytes[, path]} — O(buckets), never
-        touches sidecars. Legacy single-level manifests are summarized from
-        their inline file list."""
+    def bucket_summaries(self_or_m, m: dict | None = None) -> dict[int, dict]:
+        """Per-bucket {n_files, rows, bytes[, path]} — never touches
+        sidecars. Callable both ways: ``table.bucket_summaries(m)`` (works
+        for every layout, including the third-level range layout, which
+        needs filesystem access to load range manifests) and the legacy
+        static form ``Miniberg.bucket_summaries(m)`` (inline layouts only).
+        Legacy single-level manifests are summarized from their inline file
+        list."""
+        table = self_or_m if isinstance(self_or_m, Miniberg) else None
+        if m is None:
+            m = table.manifest() if table is not None else self_or_m
+        if "bucket_ranges" in m:
+            if table is None:
+                raise ValueError(
+                    "range-layout manifest: call table.bucket_summaries(m) "
+                    "(loading range manifests needs the table root)"
+                )
+            return {int(bk): dict(s) for bk, s in table._bucket_map(m).items()}
         if "buckets" in m:
             return {int(bk): dict(s) for bk, s in m["buckets"].items()}
         out: dict[int, dict] = {}
@@ -255,20 +356,18 @@ class Miniberg:
         self, version: int | None = None, *, buckets: list[int] | None = None,
         manifest: dict | None = None,
     ) -> list[dict]:
-        """File entries for a snapshot, loading ONLY the sidecars of the
-        requested buckets (bucket pruning prunes the manifest parse too)."""
+        """File entries for a snapshot, loading ONLY the sidecars (and, on
+        the range layout, range manifests) of the requested buckets — bucket
+        pruning prunes the manifest parse too."""
         m = manifest if manifest is not None else self.manifest(version)
-        if "buckets" not in m:  # legacy single-level layout
+        if "buckets" not in m and "bucket_ranges" not in m:  # legacy layout
             fs = m.get("files", [])
             if buckets is None:
                 return list(fs)
             bset = set(buckets)
             return [f for f in fs if f["bucket"] in bset]
         out: list[dict] = []
-        bset = None if buckets is None else {str(b) for b in buckets}
-        for bk, s in m["buckets"].items():
-            if bset is not None and bk not in bset:
-                continue
+        for _bk, s in self._iter_bucket_summaries(m, buckets):
             out.extend(self._load_sidecar(s["path"]))
         return out
 
@@ -280,9 +379,14 @@ class Miniberg:
         is grouped per bucket and written out as sidecars ONCE (the first
         commit on top of a single-level manifest upgrades the layout);
         excluded (replaced) buckets are never written — their sidecar would
-        be dead on arrival."""
-        if "buckets" in m:
-            return {bk: s for bk, s in m["buckets"].items() if int(bk) not in exclude}
+        be dead on arrival. ``record`` collects {rel: payload} of every blob
+        written, for the post-CAS GC-race re-check."""
+        if "buckets" in m or "bucket_ranges" in m:
+            return {
+                bk: s
+                for bk, s in self._bucket_map(m).items()
+                if int(bk) not in exclude
+            }
         grouped: dict[str, list[dict]] = {}
         for f in m.get("files", []):
             if f["bucket"] in exclude:
@@ -290,16 +394,22 @@ class Miniberg:
             grouped.setdefault(str(f["bucket"]), []).append(f)
         out: dict[str, dict] = {}
         for bk, entries in grouped.items():
-            rel = self._write_sidecar(entries)
-            if record is not None:
-                record[rel] = entries
-            out[bk] = {
-                "path": rel,
-                "n_files": len(entries),
-                "rows": sum(e.get("rows", 0) for e in entries),
-                "bytes": sum(e.get("bytes", 0) for e in entries),
-            }
+            out[bk] = self._bucket_summary(entries, record)
         return out
+
+    def _bucket_summary(self, entries: list[dict], record: dict | None) -> dict:
+        """Write one bucket's sidecar + return its summary row — THE single
+        add/merge rule shared by the inline and range commit paths."""
+        payload = self._sidecar_payload(entries)
+        rel = self._write_blob(payload)
+        if record is not None:
+            record[rel] = payload
+        return {
+            "path": rel,
+            "n_files": len(entries),
+            "rows": sum(e.get("rows", 0) for e in entries),
+            "bytes": sum(e.get("bytes", 0) for e in entries),
+        }
 
     # ------------------------------------------------------------- schema
     def spark_schema(self, version: int | None = None, *, include_internal: bool = True) -> T.StructType:
@@ -669,6 +779,29 @@ class Miniberg:
             and cur_m["last_applied_batch"] >= last_applied_batch
         ):
             return None
+        if ("bucket_ranges" in old_m) != ("bucket_ranges" in cur_m):
+            return None  # layout migrated mid-race — replay
+        if "bucket_ranges" in old_m:
+            obr, cbr = old_m["bucket_ranges"], cur_m["bucket_ranges"]
+            if obr["size"] != cbr["size"]:
+                return None
+            # O(ranges) root diff; only DIFFERING ranges load their manifests
+            touched: set[int] = set()
+            for lo in set(obr["ranges"]) | set(cbr["ranges"]):
+                op = obr["ranges"].get(lo, {}).get("path")
+                cp = cbr["ranges"].get(lo, {}).get("path")
+                if op == cp:
+                    continue
+                om = self._load_range(op) if op else {}
+                cm = self._load_range(cp) if cp else {}
+                touched |= {
+                    int(bk)
+                    for bk in set(om) | set(cm)
+                    if om.get(bk, {}).get("path") != cm.get(bk, {}).get("path")
+                }
+            if touched & our_buckets:
+                return None
+            return cur_v
         ob = old_m.get("buckets", {})
         cb = cur_m.get("buckets", {})
         if "buckets" not in old_m or "buckets" not in cur_m:
@@ -702,24 +835,37 @@ class Miniberg:
         new["version"] = parent_v + 1
         new["parent"] = parent_v
         replaced = replaced_buckets or set()
-        written_entries: dict[str, list[dict]] = {}
-        carried = self._bucket_entries_migrated(m, exclude=replaced, record=written_entries)
+        written_blobs: dict[str, str] = {}
         added_by_bucket: dict[str, list[dict]] = {}
         for f in added_files:
             added_by_bucket.setdefault(str(f["bucket"]), []).append(f)
-        new_buckets = dict(carried)
-        for bk, entries in added_by_bucket.items():
-            if bk in new_buckets:  # append into a carried bucket (delta path)
-                entries = self._load_sidecar(new_buckets[bk]["path"]) + entries
-            rel = self._write_sidecar(entries)
-            written_entries[rel] = entries
-            new_buckets[bk] = {
-                "path": rel,
-                "n_files": len(entries),
-                "rows": sum(e.get("rows", 0) for e in entries),
-                "bytes": sum(e.get("bytes", 0) for e in entries),
-            }
-        new["buckets"] = new_buckets
+        target_buckets = num_buckets if num_buckets is not None else m["num_buckets"]
+        if num_buckets is not None and num_buckets != m["num_buckets"]:
+            # a manifest may never mix bucket functions: EVERY pre-existing
+            # bucket must be replaced in the same commit
+            leftover = [
+                bk for bk, _s in self._iter_bucket_summaries(m)
+                if int(bk) not in replaced
+            ]
+            if leftover:
+                raise CommitConflict(
+                    "num_buckets change requires replacing every existing "
+                    f"bucket in the same commit ({len(leftover)} buckets carried)"
+                )
+        if target_buckets > RANGE_LAYOUT_MIN_BUCKETS:
+            new["bucket_ranges"] = self._commit_ranges(
+                m, replaced, added_by_bucket, written_blobs, target_buckets
+            )
+            new.pop("buckets", None)
+        else:
+            carried = self._bucket_entries_migrated(m, exclude=replaced, record=written_blobs)
+            new_buckets = dict(carried)
+            for bk, entries in added_by_bucket.items():
+                if bk in new_buckets:  # append into a carried bucket (delta path)
+                    entries = self._load_sidecar(new_buckets[bk]["path"]) + entries
+                new_buckets[bk] = self._bucket_summary(entries, written_blobs)
+            new["buckets"] = new_buckets
+            new.pop("bucket_ranges", None)
         new.pop("files", None)  # layout migration: inline list never carried
         if schema_fields is not None:
             old_fields = m["schemas"][str(m["schema_id"])]["fields"]
@@ -742,28 +888,103 @@ class Miniberg:
             late = props_fn(new["version"]) if props_fn else {}
             new["props"] = {**m.get("props", {}), **(props or {}), **late}
         if num_buckets is not None and num_buckets != m["num_buckets"]:
-            if carried:
-                raise CommitConflict(
-                    "num_buckets change requires replacing every existing "
-                    f"bucket in the same commit ({len(carried)} buckets carried)"
-                )
             new["num_buckets"] = num_buckets
             new["bucket_expr"] = f"pmod(xxhash64({m['key_col']}), {num_buckets})"
         self._write_manifest(new["version"], new)
-        # close the sidecar-reuse/GC race: a concurrent gc_orphans that read
-        # a stale mtime just before _write_sidecar's utime refresh can unlink
-        # a REUSED (previously orphaned) sidecar before this CAS landed.
-        # Re-check now that the manifest is durable and recreate from the
-        # in-memory entries (content-addressed -> same path). Carried
-        # sidecars are pinned by the parent manifest, so GC never eats them.
-        for rel, entries in written_entries.items():
+        # close the blob-reuse/GC race: a concurrent gc_orphans that read
+        # a stale mtime just before _write_blob's utime refresh can unlink
+        # a REUSED (previously orphaned) sidecar/range manifest before this
+        # CAS landed. Re-check now that the manifest is durable and recreate
+        # from the in-memory payloads (content-addressed -> same path).
+        # Carried blobs are pinned by the parent manifest, so GC never eats
+        # them.
+        for rel, payload in written_blobs.items():
             if not os.path.exists(os.path.join(self.root, rel)):
-                self._write_sidecar(entries)
+                self._write_blob(payload)
         if lineage_rows:
             lid = last_applied_batch if last_applied_batch is not None else new["version"]
             with open(os.path.join(self.lineage_dir, f"batch-{lid}.json"), "w") as f:
                 json.dump(lineage_rows, f, indent=1)
         return new["version"]
+
+    def _commit_ranges(
+        self,
+        m: dict,
+        replaced: set[int],
+        added_by_bucket: dict[str, list[dict]],
+        written_blobs: dict[str, str],
+        target_buckets: int,
+    ) -> dict:
+        """Build the new ``bucket_ranges`` block: a same-size parent carries
+        untouched range manifests verbatim (content-addressed — zero writes;
+        the commit round-trips a ~sqrt(B)-entry root plus only the touched
+        ranges) and rewrites only ranges containing replaced/added buckets.
+        A layout migration (inline/legacy parent crossing the gate, or a
+        bucket-function change) rebuilds the range set from the full map
+        once."""
+        size = self._range_size(target_buckets)
+        same = (
+            "bucket_ranges" in m
+            and m["bucket_ranges"]["size"] == size
+            and target_buckets == m["num_buckets"]
+        )
+
+        def _range_summary(rmap: dict[str, dict]) -> dict:
+            payload = json.dumps(rmap, sort_keys=True)
+            rel = self._write_blob(payload)
+            written_blobs[rel] = payload
+            return {
+                "path": rel,
+                "n_buckets": len(rmap),
+                "n_files": sum(s["n_files"] for s in rmap.values()),
+                "rows": sum(s.get("rows", 0) for s in rmap.values()),
+                "bytes": sum(s.get("bytes", 0) for s in rmap.values()),
+            }
+
+        if same:
+            old_ranges = m["bucket_ranges"]["ranges"]
+            touched = {
+                self._range_lo(int(bk), size)
+                for bk in ({str(b) for b in replaced} | set(added_by_bucket))
+            }
+            new_ranges = {
+                lo: dict(rs) for lo, rs in old_ranges.items() if lo not in touched
+            }
+            for lo in sorted(touched, key=int):
+                rmap = (
+                    dict(self._load_range(old_ranges[lo]["path"]))
+                    if lo in old_ranges
+                    else {}
+                )
+                for bk in list(rmap):
+                    if int(bk) in replaced:
+                        del rmap[bk]
+                for bk, entries in added_by_bucket.items():
+                    if self._range_lo(int(bk), size) != lo:
+                        continue
+                    if bk in rmap:  # append into a carried bucket (delta path)
+                        entries = self._load_sidecar(rmap[bk]["path"]) + entries
+                    rmap[bk] = self._bucket_summary(entries, written_blobs)
+                if rmap:
+                    new_ranges[lo] = _range_summary(rmap)
+            return {"size": size, "ranges": new_ranges}
+        # migration / bucket-function change: full parent map minus replaced,
+        # plus added, regrouped into fresh ranges (one-time O(buckets))
+        full = self._bucket_entries_migrated(m, exclude=replaced, record=written_blobs)
+        for bk, entries in added_by_bucket.items():
+            if bk in full:
+                entries = self._load_sidecar(full[bk]["path"]) + entries
+            full[bk] = self._bucket_summary(entries, written_blobs)
+        grouped: dict[str, dict] = {}
+        for bk, s in full.items():
+            grouped.setdefault(self._range_lo(int(bk), size), {})[bk] = s
+        return {
+            "size": size,
+            "ranges": {
+                lo: _range_summary(rmap)
+                for lo, rmap in sorted(grouped.items(), key=lambda kv: int(kv[0]))
+            },
+        }
 
     def rollback(self, to_version: int) -> int:
         """Restore an earlier snapshot's contents as a NEW version (Iceberg's
@@ -780,7 +1001,14 @@ class Miniberg:
         new = dict(cur)
         new["version"] = parent_v + 1
         new["parent"] = parent_v
-        new["buckets"] = self._bucket_entries_migrated(old, exclude=set())
+        if "bucket_ranges" in old:
+            # range manifests are content-addressed + immutable: the restored
+            # snapshot re-references them verbatim (still O(ranges) metadata)
+            new["bucket_ranges"] = old["bucket_ranges"]
+            new.pop("buckets", None)
+        else:
+            new["buckets"] = self._bucket_entries_migrated(old, exclude=set())
+            new.pop("bucket_ranges", None)
         new.pop("files", None)
         # restored state must be read under the schema it was written with
         new["schema_id"] = old["schema_id"]
@@ -884,6 +1112,12 @@ def collect_references(table: "Miniberg", versions: list[int]) -> tuple[set, set
             m = table.manifest(v)
             for s in m.get("buckets", {}).values():
                 keep_sidecars.add(os.path.join(table.root, s["path"]))
+            for rs in m.get("bucket_ranges", {}).get("ranges", {}).values():
+                # third level: keep the range manifest AND the sidecars it
+                # references (both live under meta/fm/)
+                keep_sidecars.add(os.path.join(table.root, rs["path"]))
+                for s in table._load_range(rs["path"]).values():
+                    keep_sidecars.add(os.path.join(table.root, s["path"]))
             for f in table.files(manifest=m):
                 keep_files.add(os.path.join(table.root, f["path"]))
         except FileNotFoundError:

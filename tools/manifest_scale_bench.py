@@ -65,7 +65,7 @@ def bench(n_buckets: int) -> dict:
 
         t0 = time.monotonic()
         m = t.manifest()
-        summ = Miniberg.bucket_summaries(m)
+        summ = t.bucket_summaries(m)
         summaries = time.monotonic() - t0
 
         t0 = time.monotonic()
