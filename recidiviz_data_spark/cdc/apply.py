@@ -57,6 +57,7 @@ from recidiviz_data_spark.tables.miniberg import (
     Miniberg,
     _type_from_json,
     align_to_schema as _align,
+    keys_from_entries,
 )
 
 BUCKET = "_bucket"
@@ -378,6 +379,17 @@ def apply_batch(
                 F.sum(F.when(F.col("_cls") == "applied", 1).otherwise(0)).alias("applied"),
                 F.sum(F.when(F.col("_cls") == "deleted", 1).otherwise(0)).alias("deleted"),
                 F.sum(F.when(F.col("_cls") == "stale", 1).otherwise(0)).alias("stale_winners"),
+                # brand-new keys this batch: winners whose doc has NO row in
+                # the target (tombstones count as rows) — feeds the exact
+                # per-bucket logical key count stamped into the manifest
+                # (winners are LWW-unique per doc, so count = distinct docs)
+                F.sum(
+                    F.when(
+                        F.col("_t_seq").isNull()
+                        & F.col("_cls").isin("applied", "deleted"),
+                        1,
+                    ).otherwise(0)
+                ).alias("new_keys"),
             )
             .collect()
         }
@@ -414,6 +426,7 @@ def apply_batch(
         changed_buckets: set[int] = set()
         cow_buckets: set[int] = set()
         mor_buckets: set[int] = set()
+        inexact_keys: set[int] = set()
         if n_changed:
             # ---- pass 3: copy-on-write rewrite — ONLY buckets that actually
             # changed (a stale-heavy replay batch may touch every bucket with
@@ -443,25 +456,40 @@ def apply_batch(
             # (file count >= compact_files_per_bucket) folds them back into
             # base files, bounding delta depth. A compacting batch writes
             # everything COW (the rewrite is already full-bucket).
+            # exact logical size per changed bucket (distinct doc_ids incl.
+            # tombstones): the manifest's `keys` stamp when present — exact
+            # even with merge-on-read deltas that added new keys — else
+            # BASE-file rows (pre-stamp tables; exact when the bucket has no
+            # deltas, under-counts delta-added keys — the drift the stamp
+            # fixes). The fallback needs those buckets' sidecars: O(changed
+            # buckets) metadata the rewrite read loads anyway. Feeds BOTH the
+            # merge-on-read threshold denominator and the `keys` stamp this
+            # commit writes (keys_before + brand-new winners).
+            logical_rows: dict[int, int] = {}
+            need_scan: list[int] = []
+            for b in changed_buckets:
+                s = bucket_summ.get(b, {})
+                if s.get("keys") is not None:
+                    logical_rows[b] = s["keys"]
+                elif s.get("rows"):
+                    need_scan.append(b)
+            for e in table.files(buckets=need_scan, manifest=m) if need_scan else []:
+                if e.get("kind") != "delta":
+                    logical_rows[e["bucket"]] = (
+                        logical_rows.get(e["bucket"], 0) + e.get("rows", 0)
+                    )
+                else:
+                    # unstamped bucket WITH deltas: base rows under-count any
+                    # delta-added keys, so the count is a lower bound — usable
+                    # as a threshold denominator, never re-stamped as exact
+                    inexact_keys.add(e["bucket"])
             if mor and not need_compact:
-                # denominator = BASE-file rows only (the summary's row count
-                # also includes prior delta rows, which would inflate it and
-                # keep buckets on the delta path longer than the threshold
-                # intends). Counting needs the changed buckets' sidecars —
-                # O(changed buckets) metadata the rewrite read loads anyway.
-                # Residual drift: base rows superseded by existing deltas
-                # still count; bounded because auto-compaction folds deltas
-                # at compact_files_per_bucket depth.
-                cand = [b for b in changed_buckets if bucket_summ.get(b, {}).get("rows")]
-                base_rows: dict[int, int] = {}
-                for e in table.files(buckets=cand, manifest=m) if cand else []:
-                    if e.get("kind") != "delta":
-                        base_rows[e["bucket"]] = base_rows.get(e["bucket"], 0) + e.get("rows", 0)
-                for b in cand:
-                    if not base_rows.get(b):
+                for b in changed_buckets:
+                    if not logical_rows.get(b):
                         continue  # no base rows: the "delta" would be the base
                     if mor is True or (
-                        changed_per_bucket[b] <= mor_max_changed_fraction * base_rows[b]
+                        changed_per_bucket[b]
+                        <= mor_max_changed_fraction * logical_rows[b]
                     ):
                         mor_buckets.add(b)
             cow_buckets = changed_buckets - mor_buckets
@@ -555,6 +583,16 @@ def apply_batch(
                 row["write_mode"] = "mor" if b in mor_buckets else "cow"  # audits)
             lineage.append(row)
 
+        # exact logical key count after this batch: keys_before (stamped or
+        # derived above) + brand-new winners. A bucket whose keys_before was
+        # only a lower bound (unstamped + existing deltas) is NOT stamped —
+        # it becomes exact again at its next compaction, which stamps rows
+        # (= keys, one row per key by construction).
+        bucket_keys = {
+            b: logical_rows.get(b, 0) + int(dec_metrics[b].get("new_keys") or 0)
+            for b in changed_buckets
+            if b not in inexact_keys
+        }
         table.commit(
             added_files=added,
             # MOR buckets are NOT replaced: their delta entries append into
@@ -565,6 +603,7 @@ def apply_batch(
             lineage_rows=lineage,
             expected_parent=m["version"],
             props=commit_props,
+            bucket_keys=bucket_keys or None,
         )
     finally:
         # unpersist on EVERY exit path (success, gate abort, write failure,
@@ -638,7 +677,7 @@ def apply_full_log(
     added = table.collect_staged_files(staging, table.manifest()["schema_id"])
     last = max(list_batches(changelog_dir))
     table.commit(added_files=added, replaced_buckets=set(range(num_buckets)),
-                 last_applied_batch=last)
+                 last_applied_batch=last, bucket_keys=keys_from_entries(added))
     return table
 
 
@@ -678,5 +717,6 @@ def bootstrap_table(
     )
     out.repartition(num_buckets, BUCKET).write.partitionBy(BUCKET).parquet(staging)
     added = table.collect_staged_files(staging, 0)
-    table.commit(added_files=added, replaced_buckets=set(range(num_buckets)))
+    table.commit(added_files=added, replaced_buckets=set(range(num_buckets)),
+                 bucket_keys=keys_from_entries(added))
     return table

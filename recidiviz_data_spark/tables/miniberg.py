@@ -111,6 +111,18 @@ class CommitConflict(Exception):
     """Another writer committed this version first (CAS failure)."""
 
 
+def keys_from_entries(entries: list[dict]) -> dict[int, int]:
+    """bucket -> summed file row counts — the exact logical key-count stamp
+    for writers whose output holds ONE row per key by construction (bulk
+    bootstrap, compaction, bucket split). Pass the result as ``commit``'s
+    ``bucket_keys``. NOT valid for merge-on-read delta writes (delta rows
+    supersede base rows rather than adding to them)."""
+    out: dict[int, int] = {}
+    for e in entries:
+        out[e["bucket"]] = out.get(e["bucket"], 0) + e.get("rows", 0)
+    return out
+
+
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project df onto schema: missing column -> null, narrower physical type
     -> widen-cast. THE single alignment rule — shared by the snapshot reader
@@ -397,19 +409,26 @@ class Miniberg:
             out[bk] = self._bucket_summary(entries, record)
         return out
 
-    def _bucket_summary(self, entries: list[dict], record: dict | None) -> dict:
+    def _bucket_summary(
+        self, entries: list[dict], record: dict | None, keys: int | None = None
+    ) -> dict:
         """Write one bucket's sidecar + return its summary row — THE single
-        add/merge rule shared by the inline and range commit paths."""
+        add/merge rule shared by the inline and range commit paths. ``keys``
+        stamps the bucket's exact logical key count when the writer knows it
+        (see ``commit``)."""
         payload = self._sidecar_payload(entries)
         rel = self._write_blob(payload)
         if record is not None:
             record[rel] = payload
-        return {
+        out = {
             "path": rel,
             "n_files": len(entries),
             "rows": sum(e.get("rows", 0) for e in entries),
             "bytes": sum(e.get("bytes", 0) for e in entries),
         }
+        if keys is not None:
+            out["keys"] = keys
+        return out
 
     # ------------------------------------------------------------- schema
     def spark_schema(self, version: int | None = None, *, include_internal: bool = True) -> T.StructType:
@@ -700,6 +719,7 @@ class Miniberg:
         props_fn=None,
         num_buckets: int | None = None,
         rebase_retries: int = 3,
+        bucket_keys: dict[int, int] | None = None,
     ) -> int:
         """Create snapshot N+1: carry over buckets outside
         ``replaced_buckets`` (their sidecars are re-referenced verbatim — an
@@ -725,7 +745,15 @@ class Miniberg:
 
         ``num_buckets`` re-declares the table's bucket function atomically with
         this commit (bucket-split maintenance): EVERY pre-existing bucket must
-        be in ``replaced_buckets`` — a manifest may never mix bucket functions."""
+        be in ``replaced_buckets`` — a manifest may never mix bucket functions.
+
+        ``bucket_keys[bucket] = n`` stamps the bucket's summary with its exact
+        LOGICAL key count (distinct doc_ids incl. tombstones) — not derivable
+        from file entries once merge-on-read deltas add new keys, so writers
+        that know it (apply: keys_before + brand-new winners; compact/split:
+        one row per key by construction) pass it through. Untouched buckets
+        carry their stamp verbatim; a bucket rewritten WITHOUT a stamp loses
+        it (readers fall back to base-file rows, the pre-stamp behavior)."""
         parent_v = self.current_version() if expected_parent is None else expected_parent
         our_buckets = set(replaced_buckets or set()) | {f["bucket"] for f in added_files}
         for _ in range(max(rebase_retries, 0) + 1):
@@ -740,6 +768,7 @@ class Miniberg:
                     props=props,
                     props_fn=props_fn,
                     num_buckets=num_buckets,
+                    bucket_keys=bucket_keys,
                 )
             except CommitConflict:
                 new_parent = self._rebase_parent(
@@ -827,6 +856,7 @@ class Miniberg:
         props: dict | None,
         num_buckets: int | None,
         props_fn=None,
+        bucket_keys: dict[int, int] | None = None,
     ) -> int:
         if self.current_version() != parent_v:
             raise CommitConflict(f"parent moved: != {parent_v}")
@@ -852,9 +882,10 @@ class Miniberg:
                     "num_buckets change requires replacing every existing "
                     f"bucket in the same commit ({len(leftover)} buckets carried)"
                 )
+        keys = {str(b): k for b, k in (bucket_keys or {}).items()}
         if target_buckets > RANGE_LAYOUT_MIN_BUCKETS:
             new["bucket_ranges"] = self._commit_ranges(
-                m, replaced, added_by_bucket, written_blobs, target_buckets
+                m, replaced, added_by_bucket, written_blobs, target_buckets, keys
             )
             new.pop("buckets", None)
         else:
@@ -863,7 +894,7 @@ class Miniberg:
             for bk, entries in added_by_bucket.items():
                 if bk in new_buckets:  # append into a carried bucket (delta path)
                     entries = self._load_sidecar(new_buckets[bk]["path"]) + entries
-                new_buckets[bk] = self._bucket_summary(entries, written_blobs)
+                new_buckets[bk] = self._bucket_summary(entries, written_blobs, keys.get(bk))
             new["buckets"] = new_buckets
             new.pop("bucket_ranges", None)
         new.pop("files", None)  # layout migration: inline list never carried
@@ -914,6 +945,7 @@ class Miniberg:
         added_by_bucket: dict[str, list[dict]],
         written_blobs: dict[str, str],
         target_buckets: int,
+        keys: dict[str, int] | None = None,
     ) -> dict:
         """Build the new ``bucket_ranges`` block: a same-size parent carries
         untouched range manifests verbatim (content-addressed — zero writes;
@@ -964,7 +996,9 @@ class Miniberg:
                         continue
                     if bk in rmap:  # append into a carried bucket (delta path)
                         entries = self._load_sidecar(rmap[bk]["path"]) + entries
-                    rmap[bk] = self._bucket_summary(entries, written_blobs)
+                    rmap[bk] = self._bucket_summary(
+                        entries, written_blobs, (keys or {}).get(bk)
+                    )
                 if rmap:
                     new_ranges[lo] = _range_summary(rmap)
             return {"size": size, "ranges": new_ranges}
@@ -974,7 +1008,9 @@ class Miniberg:
         for bk, entries in added_by_bucket.items():
             if bk in full:
                 entries = self._load_sidecar(full[bk]["path"]) + entries
-            full[bk] = self._bucket_summary(entries, written_blobs)
+            full[bk] = self._bucket_summary(
+                entries, written_blobs, (keys or {}).get(bk)
+            )
         grouped: dict[str, dict] = {}
         for bk, s in full.items():
             grouped.setdefault(self._range_lo(int(bk), size), {})[bk] = s
