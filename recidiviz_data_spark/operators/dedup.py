@@ -384,12 +384,16 @@ def band_index_path(sf_dir: str) -> str:
 
 
 def band_index_build(spark, sf_dir, path: str | None = None, *,
-                     docs=None, key: str | None = None) -> str:
+                     docs=None, key: str | None = None,
+                     meta: dict | None = None) -> str:
     """Build the persisted minhash band index over a corpus snapshot.
     Idempotent per source identity (or per explicit snapshot ``key``);
     returns the artifact base dir. One signature pass over the corpus: the
     written bands parquet is read back for the sizes aggregate, so the
-    md5/lane pipeline runs exactly once."""
+    md5/lane pipeline runs exactly once. ``meta`` (if given) lands as
+    ``sync.json`` in the payload — the CDC-sync bookkeeping record
+    (see ``band_index_sync``)."""
+    import json
     import os
 
     from recidiviz_data_spark.operators.relational import _roundtrip_cache_tag
@@ -414,18 +418,25 @@ def band_index_build(spark, sf_dir, path: str | None = None, *,
         written.groupBy("band", "h_lo", "h_hi").agg(F.count("*").alias("n")).write.parquet(
             os.path.join(stage, "sizes")
         )
+        if meta is not None:
+            with open(os.path.join(stage, "sync.json"), "w") as f:
+                json.dump(meta, f)
 
     artifacts.ensure(base, key, _build)
     return base
 
 
-def band_index_append(spark, path: str, new_docs) -> int:
+def band_index_append(spark, path: str, new_docs, *,
+                      meta: dict | None = None) -> int:
     """Incremental ingest: compute band rows for the NEW batch only (its
     shingles filtered by the index's FROZEN hot list — no corpus re-scan,
     the exact analog of ivf_index_append's assign-to-existing-centroids),
     then publish a new index version: unchanged band files carried as
     hardlinks, appended rows added, sizes merged. Atomic flip — a racing
-    prober sees the whole old or whole new index. Returns appended rows."""
+    prober sees the whole old or whole new index. Returns appended rows.
+    ``meta`` replaces the payload's ``sync.json`` (never hardlink-carried —
+    each version's sync record is its own)."""
+    import json
     import os
 
     from recidiviz_data_spark.tables import artifacts
@@ -461,16 +472,24 @@ def band_index_append(spark, path: str, new_docs) -> int:
             os.path.join(stage, "bands")
         )
         merged.write.parquet(os.path.join(stage, "sizes"))
+        if meta is not None:
+            with open(os.path.join(stage, "sync.json"), "w") as f:
+                json.dump(meta, f)
 
     artifacts.publish(path, artifacts.mutated_key(old_key), _build)
     return n
 
 
-def band_index_bands(spark, path: str, *, band_cap=MINHASH_BAND_CAP):
+def band_index_bands(spark, path: str, *, band_cap=MINHASH_BAND_CAP, live=None):
     """The index's CAP-FILTERED band rows — buckets whose MERGED size exceeds
     ``band_cap`` are dropped exactly as the in-session window cap drops them
     (the flood guard stays exact across appends because sizes are totals,
-    not per-build counts). Both reads resolve the same immutable version."""
+    not per-build counts). Both reads resolve the same immutable version.
+
+    ``live`` (a DataFrame of doc_id) semi-joins the rows down to documents
+    still alive in the source — the probe-side filter for a CDC-synced index,
+    whose appends cannot remove rows for deleted docs (see
+    ``band_index_sync``)."""
     import os
 
     from recidiviz_data_spark.tables import artifacts
@@ -483,7 +502,109 @@ def band_index_bands(spark, path: str, *, band_cap=MINHASH_BAND_CAP):
         .filter(F.col("n") <= band_cap)
         .select("band", "h_lo", "h_hi")
     )
-    return bands.join(ok, ["band", "h_lo", "h_hi"])
+    out = bands.join(ok, ["band", "h_lo", "h_hi"])
+    if live is not None:
+        out = out.join(live.select("doc_id"), "doc_id", "left_semi")
+    return out
+
+
+def table_band_index_path(table) -> str:
+    """Default artifact location for a band index synced to a miniberg table
+    — keyed on the table's uuid, so every table gets its own index dir."""
+    import os
+    import tempfile
+
+    uid = table.manifest()["table_uuid"].replace("-", "")[:12]
+    return os.path.join(tempfile.gettempdir(), f"rds_bandidx_tbl_{uid}")
+
+
+def _band_sync_meta(path: str) -> dict | None:
+    """The current index version's sync record, or None if the artifact is
+    missing or was not built through the sync lifecycle."""
+    from recidiviz_data_spark.tables import artifacts
+
+    return artifacts.sync_meta(path)
+
+
+def band_index_sync(spark, table, path: str | None = None, *,
+                    rebuild_stale_fraction: float = 0.25,
+                    changes=None) -> dict:
+    """Keep the persisted band index in step with a miniberg CDC table: the
+    search-index-ingest loop, driven by the table's own change feed.
+
+    Each call advances the index from the snapshot it last represented
+    (recorded in the payload's ``sync.json``) to the table's current version:
+
+    - first call / foreign index / rolled-back source -> FULL build over the
+      current snapshot, keyed ``miniberg:<uuid>:v<N>`` (pure-build cache key);
+    - new snapshot -> text-level diff of the two versions (only ``doc_id`` +
+      ``text`` are read — cheaper than a full-payload CDF, and a U event
+      whose text did not change is NOT re-indexed); inserts and text-updates
+      append band rows against the frozen hot list, deletes and updates mark
+      their old rows STALE in the bookkeeping (an append-only index cannot
+      remove them — probes filter deleted docs via ``band_index_bands(live=)``
+      and verification against live text rejects updated-old candidates);
+    - once stale docs exceed ``rebuild_stale_fraction`` of live docs the sync
+      compacts: a full rebuild over the current snapshot (the Lucene
+      segment-merge analog), resetting the stale count;
+    - same snapshot -> no-op.
+
+    At lake scale the version diff is the sync's dominant cost; a deployment
+    already holding the CDC events between the two snapshots passes them as
+    ``changes`` (columns op/doc_id/text) and skips the diff entirely. Every
+    publication is an atomic artifact-store flip; run ONE sync writer per
+    index (the store's standard mutating-lifecycle contract).
+
+    Returns {action, version, live_docs, stale_docs, appended_docs,
+    appended_rows}."""
+    from recidiviz_data_spark.cdc.differ import snapshot_diff
+
+    base = path or table_band_index_path(table)
+    cur_v = table.current_version()
+    uid = table.manifest()["table_uuid"]
+
+    def _rebuild() -> dict:
+        docs = table.read(spark).select("doc_id", "text")
+        live = docs.count()
+        band_index_build(
+            spark, None, base, docs=docs,
+            key=f"miniberg:{uid}:v{cur_v}",
+            meta={"table_uuid": uid, "version": cur_v,
+                  "live_docs": live, "stale_docs": 0},
+        )
+        return {"action": "rebuild", "version": cur_v, "live_docs": live,
+                "stale_docs": 0, "appended_docs": 0, "appended_rows": 0}
+
+    meta = _band_sync_meta(base)
+    if meta is None or meta.get("table_uuid") != uid or meta["version"] > cur_v:
+        return _rebuild()
+    if meta["version"] == cur_v:
+        return {"action": "noop", "version": cur_v,
+                "live_docs": meta["live_docs"], "stale_docs": meta["stale_docs"],
+                "appended_docs": 0, "appended_rows": 0}
+    if changes is None:
+        old = table.read(spark, version=meta["version"]).select("doc_id", "text")
+        new = table.read(spark, version=cur_v).select("doc_id", "text")
+        changes = snapshot_diff(old, new, key="doc_id", payload_cols=["text"])
+    changes = materialize(changes)  # consumed by the counts AND the append
+    ops = {
+        r["op"]: r["n"]
+        for r in changes.groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    n_i, n_u, n_d = ops.get("I", 0), ops.get("U", 0), ops.get("D", 0)
+    live = meta["live_docs"] + n_i - n_d
+    stale = meta["stale_docs"] + n_u + n_d
+    if stale > rebuild_stale_fraction * max(live, 1):
+        return _rebuild()
+    rows = band_index_append(
+        spark, base,
+        changes.filter(F.col("op").isin("I", "U")).select("doc_id", "text"),
+        meta={"table_uuid": uid, "version": cur_v,
+              "live_docs": live, "stale_docs": stale},
+    )
+    return {"action": "append", "version": cur_v, "live_docs": live,
+            "stale_docs": stale, "appended_docs": n_i + n_u,
+            "appended_rows": rows}
 
 
 @_qx(

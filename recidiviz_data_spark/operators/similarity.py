@@ -629,6 +629,162 @@ def ivf_index_refresh(spark, path: str) -> str:
     return path
 
 
+def table_ivf_index_path(table) -> str:
+    """Default artifact location for an IVF index synced to a miniberg table
+    — keyed on the table's uuid, so every table gets its own index dir."""
+    import os
+    import tempfile
+
+    uid = table.manifest()["table_uuid"].replace("-", "")[:12]
+    return os.path.join(tempfile.gettempdir(), f"rds_ivfidx_tbl_{uid}")
+
+
+def table_vectors(df):
+    """(vec_id, label, v, n2) from a CDC table's (doc_id, embedding) payload:
+    ``vec_id`` = portable md5-int60 of doc_id (centroid seeding and search
+    tiebreaks need an integer id), ``label`` = doc_id, ``v``/``n2`` the
+    int-scaled vector + exact squared norm (same columns _scaled prepares
+    from the embeddings parquet)."""
+    iv = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
+    out = df.select(
+        phash(F.col("doc_id")).alias("vec_id"),
+        F.col("doc_id").alias("label"),
+        iv.alias("v"),
+    )
+    return out.withColumn("n2", _dot(F.col("v"), F.col("v")).cast("double"))
+
+
+def ivf_index_sync(spark, table, path: str | None = None, *,
+                   rebuild_stale_fraction: float = 0.25,
+                   lloyd_iters: int = 1, changes=None) -> dict:
+    """Keep the materialized IVF index in step with a miniberg CDC table —
+    the vector-search mirror of ``band_index_sync``, plus the one thing a
+    top-k index needs that a candidate index does not: DELETES MUST AFFECT
+    RESULTS (a deleted doc in a band index only costs a candidate that
+    verification rejects; a deleted doc in a top-k answer is wrong output).
+
+    Appends therefore carry a generation stamp: every vector row gets
+    ``gen`` = the snapshot version that introduced it, and a ``dead/`` list
+    records ``(vec_id, dead_gen)`` meaning "rows of this vec_id with
+    gen < dead_gen are superseded" — an update kills the doc's older rows
+    while its freshly appended row (gen = current version) survives; a
+    delete kills them all. ``ivf_index_search`` applies the list as a
+    broadcast filter on the probed cells; a re-inserted doc's newer rows
+    out-generation the tombstone naturally. Once stale vectors exceed
+    ``rebuild_stale_fraction`` of live ones, sync re-trains and rewrites the
+    layout (folding the dead list away) — the FAISS remove-list + periodic
+    rebuild contract. Every publication is an atomic artifact-store flip;
+    run ONE sync writer per index.
+
+    ``changes`` (op/doc_id/embedding) skips the version diff when the caller
+    already holds the CDC events. Returns {action, version, live_docs,
+    stale_docs, appended_docs}."""
+    import json
+    import os
+
+    from recidiviz_data_spark.cdc.differ import snapshot_diff
+    from recidiviz_data_spark.tables import artifacts
+
+    base = path or table_ivf_index_path(table)
+    cur_v = table.current_version()
+    uid = table.manifest()["table_uuid"]
+    dead_schema = "vec_id long, dead_gen int"
+
+    def _rebuild() -> dict:
+        vecs = materialize(table_vectors(table.read(spark).select("doc_id", "embedding")))
+        live = vecs.count()
+        meta = {"table_uuid": uid, "version": cur_v,
+                "live_docs": live, "stale_docs": 0}
+
+        def _build(stage: str) -> None:
+            os.makedirs(stage)
+            iv, cents, assign = ivf_assign(
+                spark, None, lloyd_iters, with_cents=True, vectors=vecs
+            )
+            out = iv.join(assign.select("vec_id", "cent_id"), "vec_id").select(
+                "vec_id", "label", "v", "n2",
+                F.lit(cur_v).alias("gen"), F.col("cent_id").alias("cell"),
+            )
+            out.write.partitionBy("cell").parquet(os.path.join(stage, "vectors"))
+            cents.write.parquet(os.path.join(stage, "centroids"))
+            spark.createDataFrame([], dead_schema).write.parquet(
+                os.path.join(stage, "dead")
+            )
+            with open(os.path.join(stage, "sync.json"), "w") as f:
+                json.dump(meta, f)
+
+        artifacts.ensure(base, f"miniberg:{uid}:v{cur_v}", _build)
+        return {"action": "rebuild", "version": cur_v, "live_docs": live,
+                "stale_docs": 0, "appended_docs": 0}
+
+    meta = artifacts.sync_meta(base)
+    if meta is None or meta.get("table_uuid") != uid or meta["version"] > cur_v:
+        return _rebuild()
+    if meta["version"] == cur_v:
+        return {"action": "noop", "version": cur_v,
+                "live_docs": meta["live_docs"], "stale_docs": meta["stale_docs"],
+                "appended_docs": 0}
+    if changes is None:
+        old = table.read(spark, version=meta["version"]).select("doc_id", "embedding")
+        new = table.read(spark, version=cur_v).select("doc_id", "embedding")
+        changes = snapshot_diff(old, new, key="doc_id", payload_cols=["embedding"])
+    changes = materialize(changes)  # consumed by the counts, append, and dead
+    ops = {
+        r["op"]: r["n"]
+        for r in changes.groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    n_i, n_u, n_d = ops.get("I", 0), ops.get("U", 0), ops.get("D", 0)
+    live = meta["live_docs"] + n_i - n_d
+    stale = meta["stale_docs"] + n_u + n_d
+    if stale > rebuild_stale_fraction * max(live, 1):
+        return _rebuild()
+
+    r = artifacts.resolve(base)
+    payload, old_key = r
+    cents = spark.read.parquet(os.path.join(payload, "centroids"))
+    new_vecs = table_vectors(
+        changes.filter(F.col("op").isin("I", "U")).select("doc_id", "embedding")
+    )
+    assigned = new_vecs.join(
+        _nearest_cent(new_vecs, cents).select("vec_id", "cent_id"), "vec_id"
+    ).select(
+        "vec_id", "label", "v", "n2",
+        F.lit(cur_v).alias("gen"), F.col("cent_id").alias("cell"),
+    )
+    merged_dead = (
+        spark.read.parquet(os.path.join(payload, "dead"))
+        .unionByName(
+            changes.filter(F.col("op").isin("U", "D")).select(
+                phash(F.col("doc_id")).alias("vec_id"),
+                F.lit(cur_v).alias("dead_gen"),
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.max("dead_gen").alias("dead_gen"))
+    )
+    new_meta = {"table_uuid": uid, "version": cur_v,
+                "live_docs": live, "stale_docs": stale}
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage)
+        # vectors + centroids carried as hardlinks; dead/ and sync.json are
+        # rewritten per version (each version's bookkeeping is its own)
+        artifacts.link_tree(os.path.join(payload, "vectors"),
+                            os.path.join(stage, "vectors"))
+        artifacts.link_tree(os.path.join(payload, "centroids"),
+                            os.path.join(stage, "centroids"))
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(stage, "vectors")
+        )
+        merged_dead.write.parquet(os.path.join(stage, "dead"))
+        with open(os.path.join(stage, "sync.json"), "w") as f:
+            json.dump(new_meta, f)
+
+    artifacts.publish(base, artifacts.mutated_key(old_key), _build)
+    return {"action": "append", "version": cur_v, "live_docs": live,
+            "stale_docs": stale, "appended_docs": n_i + n_u}
+
+
 def ivf_index_search(spark, path: str, query_df, *, k: int = 3, nprobe: int = 1):
     """Search the MATERIALIZED index: rank the persisted centroids per query
     (broadcast — K rows), then read ONLY the probed cells' partitions
@@ -653,6 +809,21 @@ def ivf_index_search(spark, path: str, query_df, *, k: int = 3, nprobe: int = 1)
     vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(
         F.col("cell").isin(cells)
     )
+    dead_dir = os.path.join(path, "dead")
+    if os.path.isdir(dead_dir):
+        # CDC-synced index (see ivf_index_sync): drop rows superseded by a
+        # later update/delete — the list is tiny by the rebuild threshold,
+        # so it broadcasts; rows newer than their tombstone (re-inserts)
+        # survive the generation comparison
+        dead = spark.read.parquet(dead_dir)
+        vecs = (
+            vecs.join(F.broadcast(dead), "vec_id", "left")
+            .filter(
+                F.col("dead_gen").isNull()
+                | (F.coalesce(F.col("gen"), F.lit(0)) >= F.col("dead_gen"))
+            )
+            .drop("dead_gen")
+        )
     qa = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -147,6 +147,20 @@ def link_tree(src: str, dst: str) -> None:
             os.link(os.path.join(root, name), os.path.join(out, name))
 
 
+def sync_meta(base: str) -> dict | None:
+    """The current version's ``sync.json`` bookkeeping record (written by the
+    CDC-sync lifecycles — band_index_sync / ivf_index_sync), or None if the
+    artifact is missing or was not built through a sync lifecycle."""
+    r = resolve(base)
+    if r is None:
+        return None
+    try:
+        with open(os.path.join(r[0], "sync.json")) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
 def mutated_key(key: str) -> str:
     """Key stamped on a version produced by a MUTATING lifecycle step
     (append/refresh): distinct from every pure-build key, so ``ensure`` with

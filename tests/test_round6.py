@@ -637,3 +637,176 @@ def test_keys_stamp_survives_split_and_carry(spark, tmp_path):
         if b not in touched:
             assert s["keys"] == per_bucket_before[b]["keys"]
     assert sum(s["keys"] for s in summ2.values()) == 200
+
+
+# --------------------------------- band index follows the CDC table (r6 sync)
+def test_band_index_sync_follows_cdc_table(spark, tmp_path):
+    """The persisted band index advances with the miniberg table through the
+    sync lifecycle: full build -> text-diff-driven append (text-unchanged
+    updates NOT re-indexed) -> noop -> stale-fraction-triggered rebuild.
+    Deleted docs are filtered by the live probe; appends find new partners."""
+    from recidiviz_data_spark.cdc.apply import apply_batch, bootstrap_table
+    from recidiviz_data_spark.operators.dedup import (
+        _band_sync_meta, band_index_bands, band_index_sync)
+
+    # 24 docs with distinct 4-word texts (pairwise shingle df <= 2 stays under
+    # the df>nd/10 hot cap); doc_00 and doc_01 share a 3-word prefix shingle
+    rows = []
+    for i in range(24):
+        # doc_00/doc_01 share an IDENTICAL shingle set (equal minhash
+        # signatures -> every band matches deterministically)
+        text = ("common alpha beta gamma" if i < 2
+                else f"w{i}a w{i}b w{i}c w{i}d")
+        rows.append((f"doc_{i:02d}", [1, 2], 2, text))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, text string")
+    table = bootstrap_table(spark, str(tmp_path / "t_sync"), df, num_buckets=2)
+    idx = str(tmp_path / "bandidx")
+
+    r1 = band_index_sync(spark, table, idx)
+    assert r1["action"] == "rebuild" and r1["live_docs"] == 24
+    bands = band_index_bands(spark, idx)
+    pairs = {
+        (a, b)
+        for a, b in bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h_lo") == F.col("y.h_lo"))
+            & (F.col("x.h_hi") == F.col("y.h_hi"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select("x.doc_id", "y.doc_id").distinct().collect()
+    }
+    assert ("doc_00", "doc_01") in pairs
+
+    # CDC batch: I doc_24 (near-dup of doc_02), U doc_03 (text changed),
+    # U doc_04 (text UNCHANGED - tokens only), D doc_05
+    ev = spark.createDataFrame(
+        [
+            (1, "I", "doc_24", [1], 1, "w2a w2b w2c w2d"),  # doc_02's shingles
+            (2, "U", "doc_03", [9, 9], 2, "brand new text here"),
+            (3, "U", "doc_04", [7, 7, 7], 3, "w4a w4b w4c w4d"),
+            (4, "D", "doc_05", None, None, None),
+        ],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, text string",
+    )
+    apply_batch(spark, table, ev, 0, compact=False)
+    r2 = band_index_sync(spark, table, idx)
+    assert r2["action"] == "append"
+    assert r2["appended_docs"] == 2  # doc_24 + doc_03; doc_04's text is stale-free
+    assert r2["live_docs"] == 24 and r2["stale_docs"] == 2
+    # deleted doc still in the raw index, gone behind the live filter
+    raw = band_index_bands(spark, idx)
+    assert raw.filter(F.col("doc_id") == "doc_05").count() > 0
+    live = band_index_bands(spark, idx, live=table.read(spark).select("doc_id"))
+    assert live.filter(F.col("doc_id") == "doc_05").count() == 0
+    # the appended doc probes its near-dup partner
+    probe = live.filter(F.col("doc_id") == "doc_24").alias("p")
+    hits = {
+        r["doc_id"]
+        for r in live.alias("c").join(
+            probe,
+            (F.col("c.band") == F.col("p.band"))
+            & (F.col("c.h_lo") == F.col("p.h_lo"))
+            & (F.col("c.h_hi") == F.col("p.h_hi"))
+            & (F.col("c.doc_id") != F.col("p.doc_id")),
+        ).select(F.col("c.doc_id")).distinct().collect()
+    }
+    assert "doc_02" in hits
+
+    assert band_index_sync(spark, table, idx)["action"] == "noop"
+
+    # push stale over the threshold: rebuild folds the index (deleted doc's
+    # rows physically gone, stale counter reset, version advances)
+    ev2 = spark.createDataFrame(
+        [(5, "D", "doc_06", None, None, None)],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, text string",
+    )
+    apply_batch(spark, table, ev2, 1, compact=False)
+    r4 = band_index_sync(spark, table, idx, rebuild_stale_fraction=0.0)
+    assert r4["action"] == "rebuild" and r4["stale_docs"] == 0
+    assert r4["live_docs"] == 23
+    m = _band_sync_meta(idx)
+    assert m["version"] == table.current_version()
+    raw2 = band_index_bands(spark, idx)
+    assert raw2.filter(F.col("doc_id").isin("doc_05", "doc_06")).count() == 0
+
+
+def test_ivf_index_sync_deletes_affect_topk(spark, tmp_path):
+    """The IVF index follows the CDC table, and — unlike the band index —
+    deletes/updates must change SEARCH RESULTS: superseded vectors are
+    filtered via the generation-stamped dead list, re-trained away at the
+    stale-fraction rebuild."""
+    import hashlib
+
+    from recidiviz_data_spark.cdc.apply import apply_batch, bootstrap_table
+    from recidiviz_data_spark.operators.similarity import (
+        ivf_index_search, ivf_index_sync, table_vectors)
+    from recidiviz_data_spark.tables import artifacts
+
+    def pid(doc):
+        return int(hashlib.md5(doc.encode()).hexdigest()[:15], 16)
+
+    def emb(i):
+        return [float(10 + i), 1.0, float((i * 3) % 11 + 2), float((i * 5) % 13 + 2)]
+
+    rows = []
+    for i in range(150):
+        # doc_008/doc_009 are exact copies of doc_007's vector (cos = 1.0 —
+        # strictly above every non-parallel corpus vector, deterministic)
+        e = emb(7) if i in (8, 9) else emb(i)
+        rows.append((f"doc_{i:03d}", [1], 1, e))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, embedding array<float>")
+    table = bootstrap_table(spark, str(tmp_path / "t_ivfs"), df, num_buckets=2)
+    idx = str(tmp_path / "ivfidx")
+
+    r1 = ivf_index_sync(spark, table, idx)
+    assert r1["action"] == "rebuild" and r1["live_docs"] == 150
+    q = table_vectors(
+        table.read(spark).filter("doc_id = 'doc_007'").select("doc_id", "embedding"))
+    top = ivf_index_search(spark, idx, q, k=2, nprobe=4).collect()
+    assert {r["neighbor_id"] for r in top} == {pid("doc_008"), pid("doc_009")}
+    assert all(r["cosine"] == 1.0 for r in top)
+
+    # CDC batch: doc_008's vector moves away, doc_009 is deleted, doc_150
+    # arrives as the new exact twin of doc_007
+    ev = spark.createDataFrame(
+        [
+            (1, "U", "doc_008", [1], 1, [1000.0, 3.0, 5.0, 7.0]),
+            (2, "D", "doc_009", None, None, None),
+            (3, "I", "doc_150", [1], 1, emb(7)),
+        ],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, embedding array<float>",
+    )
+    apply_batch(spark, table, ev, 0, compact=False)
+    r2 = ivf_index_sync(spark, table, idx)
+    assert r2["action"] == "append"
+    assert r2["live_docs"] == 150 and r2["stale_docs"] == 2
+    assert r2["appended_docs"] == 2
+    top2 = ivf_index_search(spark, idx, q, k=3, nprobe=4).collect()
+    ids2 = [r["neighbor_id"] for r in top2]
+    assert pid("doc_009") not in ids2  # deleted doc gone from top-k
+    # only the new twin scores 1.0 — doc_008's superseded copy is dead
+    assert {r["neighbor_id"] for r in top2 if r["cosine"] == 1.0} == {pid("doc_150")}
+
+    assert ivf_index_sync(spark, table, idx)["action"] == "noop"
+
+    # stale threshold 0 -> rebuild: dead list folded away, layout re-trained
+    ev2 = spark.createDataFrame(
+        [(4, "D", "doc_010", None, None, None)],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, embedding array<float>",
+    )
+    apply_batch(spark, table, ev2, 1, compact=False)
+    r4 = ivf_index_sync(spark, table, idx, rebuild_stale_fraction=0.0)
+    assert r4["action"] == "rebuild" and r4["stale_docs"] == 0
+    assert r4["live_docs"] == 149
+    payload, _ = artifacts.resolve(idx)
+    raw = spark.read.parquet(os.path.join(payload, "vectors"))
+    assert raw.filter(F.col("vec_id") == pid("doc_009")).count() == 0
+    assert raw.filter(F.col("vec_id") == pid("doc_008")).count() == 1
+    top3 = ivf_index_search(spark, idx, q, k=1, nprobe=4).collect()
+    assert [r["neighbor_id"] for r in top3] == [pid("doc_150")]
