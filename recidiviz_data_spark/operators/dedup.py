@@ -943,6 +943,277 @@ def materialize_neardup_clusters(spark, sf_dir, *, key: str | None = None) -> st
     )
 
 
+def table_clusters_path(table) -> str:
+    """Default artifact location for a cluster table synced to a miniberg
+    table — keyed on the table's uuid."""
+    import os
+    import tempfile
+
+    uid = table.manifest()["table_uuid"].replace("-", "")[:12]
+    return os.path.join(tempfile.gettempdir(), f"rds_clusters_tbl_{uid}")
+
+
+def neardup_clusters_view(spark, path: str):
+    """(doc_id, cluster_id, is_keeper, cluster_size) over a synced cluster
+    table. The persisted core is the minimal (doc_id, cluster_id) assignment
+    — keeper flags and sizes are one small groupBy away and would otherwise
+    force every member row of a cluster to be rewritten when one doc joins
+    or leaves it."""
+    import os
+
+    from recidiviz_data_spark.tables import artifacts
+
+    r = artifacts.resolve(path)
+    payload = r[0] if r is not None else path
+    cur = spark.read.parquet(os.path.join(payload, "clusters"))
+    sizes = cur.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cur.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        "cluster_size",
+    )
+
+
+def neardup_clusters_sync(spark, table, path: str | None = None, *,
+                          band_path: str | None = None,
+                          rebuild_stale_fraction: float = 0.25,
+                          changes=None) -> dict:
+    """Keep the near-dup CLUSTER table in step with a miniberg CDC table —
+    incremental connected components on top of the synced band index.
+
+    The full clustering (``x_neardup_clusters``) is a corpus-wide shingle
+    join + CC; re-running it per CDC batch re-scans the corpus. This sync
+    instead touches only the batch's blast radius:
+
+    1. ``band_index_sync`` advances the candidate index first (same diff).
+    2. New/updated docs probe the index for LIVE candidate partners; the
+       exact Jaccard rule (>= 0.3 over hot-capped shingles, frozen hot list)
+       verifies candidates using ONLY the involved docs' texts — partners
+       are point-read via ``read_keys`` (batch-bounded list), never a corpus
+       scan.
+    3. Verified edges merge clusters through a MINI component pass whose
+       nodes are new doc ids + existing cluster ids — O(batch), not
+       O(graph): an existing cluster participates as one node.
+    4. Only AFFECTED clusters (touched by a merge, a removal, or a new
+       member) are re-labeled to min(live member); untouched assignment rows
+       carry verbatim. Deletes drop membership rows; a deleted/updated
+       keeper hands the label to the next-smallest live member exactly.
+
+    Honest residue, mirrored from every production dedup pipeline: (a)
+    candidates come from MinHash bands, so an incrementally-added pair the
+    LSH misses is absent until the next full rebuild (the rebuild uses the
+    exact shingle join); (b) removing a BRIDGE doc from a cluster of >= 3
+    does not split the remaining members (splits need intra-cluster
+    re-verification). Both are bounded by ``rebuild_stale_fraction``: past
+    it the sync re-runs the exact full clustering. Returns {action, version,
+    live_docs, stale_docs, new_edges}."""
+    import json
+    import os
+
+    from recidiviz_data_spark.cdc.differ import snapshot_diff
+    from recidiviz_data_spark.tables import artifacts
+
+    base = path or table_clusters_path(table)
+    bp = band_path or table_band_index_path(table)
+    cur_v = table.current_version()
+    uid = table.manifest()["table_uuid"]
+
+    def _rebuild() -> dict:
+        docs = materialize(table.read(spark).select("doc_id", "text"))
+        live = docs.count()
+        meta = {"table_uuid": uid, "version": cur_v,
+                "live_docs": live, "stale_docs": 0}
+
+        def _build(stage: str) -> None:
+            os.makedirs(stage)
+            x_neardup_clusters(spark, None, docs=docs).select(
+                "doc_id", "cluster_id"
+            ).write.parquet(os.path.join(stage, "clusters"))
+            with open(os.path.join(stage, "sync.json"), "w") as f:
+                json.dump(meta, f)
+
+        artifacts.ensure(base, f"miniberg:{uid}:v{cur_v}", _build)
+        return {"action": "rebuild", "version": cur_v, "live_docs": live,
+                "stale_docs": 0, "new_edges": 0}
+
+    meta = artifacts.sync_meta(base)
+    if meta is None or meta.get("table_uuid") != uid or meta["version"] > cur_v:
+        band_index_sync(spark, table, bp)
+        return _rebuild()
+    if meta["version"] == cur_v:
+        return {"action": "noop", "version": cur_v,
+                "live_docs": meta["live_docs"], "stale_docs": meta["stale_docs"],
+                "new_edges": 0}
+    if changes is None:
+        old = table.read(spark, version=meta["version"]).select("doc_id", "text")
+        new = table.read(spark, version=cur_v).select("doc_id", "text")
+        changes = snapshot_diff(old, new, key="doc_id", payload_cols=["text"])
+    changes = materialize(changes)
+    band_index_sync(spark, table, bp, changes=changes)  # candidates first
+    ops = {
+        r["op"]: r["n"]
+        for r in changes.groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    n_i, n_u, n_d = ops.get("I", 0), ops.get("U", 0), ops.get("D", 0)
+    live = meta["live_docs"] + n_i - n_d
+    stale = meta["stale_docs"] + n_u + n_d
+    if stale > rebuild_stale_fraction * max(live, 1):
+        return _rebuild()
+
+    r = artifacts.resolve(base)
+    payload, old_key = r
+    cur = spark.read.parquet(os.path.join(payload, "clusters"))
+    new_docs = materialize(
+        changes.filter(F.col("op").isin("I", "U")).select("doc_id", "text")
+    )
+    new_ids = new_docs.select("doc_id")
+    removed = changes.filter(F.col("op").isin("U", "D")).select("doc_id")
+
+    # -- candidates: probe the band index with the new docs. No live filter
+    # needed here: a deleted partner's candidacy dies at verification —
+    # read_keys returns no text for a tombstoned doc, so it contributes no
+    # shingles and no edge (cheaper than semi-joining the corpus key set)
+    bands = band_index_bands(spark, bp)
+    probe = bands.join(new_ids, "doc_id", "left_semi").alias("p")
+    cand = (
+        bands.alias("c")
+        .join(
+            probe,
+            (F.col("c.band") == F.col("p.band"))
+            & (F.col("c.h_lo") == F.col("p.h_lo"))
+            & (F.col("c.h_hi") == F.col("p.h_hi"))
+            & (F.col("c.doc_id") != F.col("p.doc_id")),
+        )
+        .select(F.col("p.doc_id").alias("np"), F.col("c.doc_id").alias("pp"))
+        .distinct()
+    )
+    partner_ids = sorted(
+        r["pp"]
+        for r in cand.select("pp").join(new_ids.withColumnRenamed("doc_id", "pp"),
+                                        "pp", "left_anti").distinct().collect()
+    )  # batch-bounded: candidates of THIS batch only — never corpus-scale
+
+    # -- exact Jaccard verification on the involved docs only (frozen hot cap)
+    involved = new_docs
+    if partner_ids:
+        involved = involved.unionByName(
+            table.read_keys(spark, partner_ids).select("doc_id", "text")
+        )
+    hot = spark.read.parquet(
+        os.path.join(artifacts.resolve(bp)[0], "hot")
+    )
+    sh = materialize(
+        _shingles(spark, None, docs=involved).join(
+            F.broadcast(hot), "shingle", "left_anti"
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    ver = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "d1")
+                   .withColumnRenamed("n", "na"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("n", "nb"), "d2")
+        .filter(F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")) >= 0.3)
+        .select("d1", "d2")
+    )
+    # keep only pairs touching a new doc (two old partners of different new
+    # docs may incidentally share shingles — their pair is NOT part of this
+    # batch's blast radius)
+    edges = (
+        ver.join(new_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+        .unionByName(
+            ver.join(new_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+
+    # -- mini component pass: an endpoint that is an EXISTING doc collapses
+    # to its cluster id, so a whole existing cluster is ONE node. Nodes are
+    # NAMESPACED ("c:<cluster_id>" vs "d:<doc_id>"): cluster labels ARE doc
+    # ids, so an updated doc participating as itself would otherwise collide
+    # with the label of the cluster it just left (fusing them spuriously).
+    # Removed docs are dropped from the endpoint->cluster map first — an
+    # updated doc's old membership must not leak in.
+    comp_groups = None
+    if n_edges:
+        assign_live = cur.select(
+            F.col("doc_id").alias("m_doc"),
+            F.concat(F.lit("c:"), F.col("cluster_id").cast("string")).alias("m_cl"),
+        ).join(removed.withColumnRenamed("doc_id", "m_doc"), "m_doc", "left_anti")
+
+        def _as_node(col):
+            return F.coalesce(
+                F.col("m_cl"), F.concat(F.lit("d:"), F.col(col).cast("string"))
+            )
+
+        e1 = edges.join(assign_live.withColumnRenamed("m_doc", "d1"), "d1", "left") \
+                  .select(_as_node("d1").alias("na"), F.col("d2"))
+        mini = e1.join(assign_live.withColumnRenamed("m_doc", "d2"), "d2", "left") \
+                 .select("na", _as_node("d2").alias("nb"))
+        comp_groups = connected_components(spark, mini, src="na", dst="nb")
+
+    # -- affected clusters: merged ones, plus every cluster losing a member
+    removed_cl = cur.join(removed, "doc_id", "left_semi") \
+        .select(F.col("cluster_id").cast("string").alias("cl_s"))
+    if comp_groups is not None:
+        merged_cl = comp_groups.filter(F.col("node").startswith("c:")) \
+            .select(F.expr("substring(node, 3)").alias("cl_s"))
+        affected_cl = removed_cl.unionByName(merged_cl).distinct().localCheckpoint()
+    else:
+        affected_cl = removed_cl.distinct().localCheckpoint()
+
+    cur_s = cur.withColumn("cl_s", F.col("cluster_id").cast("string"))
+    untouched = cur_s.join(F.broadcast(affected_cl), "cl_s", "left_anti") \
+                     .join(removed, "doc_id", "left_anti")
+
+    # -- rebuild the affected region: old members (minus removed) grouped by
+    # their cluster's mini-CC label, new docs by theirs (self if edge-less),
+    # then final label = min(doc_id) per group — keeper hand-off is exact
+    old_aff = cur_s.join(F.broadcast(affected_cl), "cl_s", "left_semi") \
+                   .join(removed, "doc_id", "left_anti")
+    if comp_groups is not None:
+        lbl = comp_groups.select(F.col("node"), F.col("cluster_id").alias("grp"))
+        old_part = old_aff.withColumn("node", F.concat(F.lit("c:"), F.col("cl_s"))) \
+            .join(lbl, "node", "left") \
+            .select("doc_id", F.coalesce("grp", F.col("node")).alias("grp"))
+        new_part = new_ids.withColumn(
+            "node", F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
+        ).join(lbl, "node", "left") \
+            .select("doc_id", F.coalesce("grp", F.col("node")).alias("grp"))
+    else:
+        old_part = old_aff.select(
+            "doc_id", F.concat(F.lit("c:"), F.col("cl_s")).alias("grp"))
+        new_part = new_ids.select(
+            "doc_id", F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("grp"))
+    region = old_part.unionByName(new_part)
+    final = region.groupBy("grp").agg(F.min("doc_id").alias("cluster_id"))
+    rebuilt = region.join(final, "grp").select("doc_id", "cluster_id")
+
+    out = untouched.select("doc_id", "cluster_id").unionByName(rebuilt)
+    new_meta = {"table_uuid": uid, "version": cur_v,
+                "live_docs": live, "stale_docs": stale}
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage)
+        out.write.parquet(os.path.join(stage, "clusters"))
+        with open(os.path.join(stage, "sync.json"), "w") as f:
+            json.dump(new_meta, f)
+
+    artifacts.publish(base, artifacts.mutated_key(old_key), _build)
+    return {"action": "append", "version": cur_v, "live_docs": live,
+            "stale_docs": stale, "new_edges": n_edges}
+
+
 SPAN_LEN = 8  # words per span for substring-level dedup
 
 

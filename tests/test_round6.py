@@ -810,3 +810,103 @@ def test_ivf_index_sync_deletes_affect_topk(spark, tmp_path):
     assert raw.filter(F.col("vec_id") == pid("doc_008")).count() == 1
     top3 = ivf_index_search(spark, idx, q, k=1, nprobe=4).collect()
     assert [r["neighbor_id"] for r in top3] == [pid("doc_150")]
+
+
+def test_neardup_clusters_sync_incremental_cc(spark, tmp_path):
+    """The cluster table follows the CDC table through incremental connected
+    components: join-into-cluster, CLUSTER-CLUSTER MERGE via a bridge doc,
+    keeper hand-off on delete, and 2-member split on update — each sync's
+    view must equal the full exact reclustering of the current snapshot
+    (planted pairs share shingle sets the LSH provably finds)."""
+    from recidiviz_data_spark.cdc.apply import apply_batch, bootstrap_table
+    from recidiviz_data_spark.operators.dedup import (
+        neardup_clusters_sync, neardup_clusters_view, x_neardup_clusters)
+
+    t_ab = "common alpha beta gamma"
+    t_p = "pa pb pc pd pe pf pg ph pi pj"
+    t_q = "qa qb qc qd qe qf qg qh qi qj"
+    rows = []
+    for i in range(40):
+        text = {0: t_ab, 1: t_ab, 20: t_p, 21: t_p, 22: t_q, 23: t_q}.get(
+            i, f"w{i}a w{i}b w{i}c w{i}d")
+        rows.append((f"doc_{i:02d}", [1], 1, text))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, text string")
+    table = bootstrap_table(spark, str(tmp_path / "t_ccs"), df, num_buckets=2)
+    cpath, bpath = str(tmp_path / "ccidx"), str(tmp_path / "ccbands")
+
+    def view():
+        return {
+            tuple(r) for r in neardup_clusters_view(spark, cpath)
+            .select("doc_id", "cluster_id", "is_keeper", "cluster_size").collect()
+        }
+
+    def full():
+        docs = table.read(spark).select("doc_id", "text")
+        return {
+            tuple(r) for r in x_neardup_clusters(spark, None, docs=docs)
+            .select("doc_id", "cluster_id", "is_keeper", "cluster_size").collect()
+        }
+
+    r1 = neardup_clusters_sync(spark, table, cpath, band_path=bpath)
+    assert r1["action"] == "rebuild" and r1["live_docs"] == 40
+    v1 = view()
+    assert ("doc_01", "doc_00", False, 2) in v1
+    assert ("doc_21", "doc_20", False, 2) in v1 and ("doc_23", "doc_22", False, 2) in v1
+
+    # batch A: doc_40 twins doc_02, doc_41 joins {00,01}, doc_42 BRIDGES the
+    # {20,21} and {22,23} clusters (jaccard 0.444 to each, band-matches both)
+    ev_a = spark.createDataFrame(
+        [
+            (1, "I", "doc_40", [1], 1, "w2a w2b w2c w2d"),
+            (2, "I", "doc_41", [1], 1, t_ab),
+            (3, "I", "doc_42", [1], 1, f"{t_p} {t_q}"),
+        ],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, text string",
+    )
+    apply_batch(spark, table, ev_a, 0, compact=False)
+    r2 = neardup_clusters_sync(spark, table, cpath, band_path=bpath)
+    assert r2["action"] == "append" and r2["live_docs"] == 43
+    assert r2["new_edges"] >= 4
+    v2 = view()
+    assert ("doc_40", "doc_02", False, 2) in v2
+    assert ("doc_41", "doc_00", False, 3) in v2
+    # the merge: all five docs under min label doc_20, size 5
+    assert ("doc_42", "doc_20", False, 5) in v2 and ("doc_23", "doc_20", False, 5) in v2
+    assert v2 == full()  # byte-exact vs the full reclustering
+
+    # batch B: delete the {00,01,41} keeper (hand-off to doc_01) and update
+    # doc_02 away (2-member split: doc_40 and doc_02 become singletons)
+    ev_b = spark.createDataFrame(
+        [
+            (4, "D", "doc_00", None, None, None),
+            (5, "U", "doc_02", [1], 1, "entirely different words now present"),
+        ],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, text string",
+    )
+    apply_batch(spark, table, ev_b, 1, compact=False)
+    r3 = neardup_clusters_sync(spark, table, cpath, band_path=bpath)
+    assert r3["action"] == "append"
+    assert r3["live_docs"] == 42 and r3["stale_docs"] == 2
+    v3 = view()
+    assert ("doc_01", "doc_01", True, 2) in v3 and ("doc_41", "doc_01", False, 2) in v3
+    assert ("doc_40", "doc_40", True, 1) in v3
+    assert ("doc_02", "doc_02", True, 1) in v3
+    assert not any(r[0] == "doc_00" for r in v3)
+    assert v3 == full()
+
+    assert neardup_clusters_sync(spark, table, cpath, band_path=bpath)["action"] == "noop"
+
+    # stale threshold: one more delete at fraction 0 -> exact full rebuild
+    ev_c = spark.createDataFrame(
+        [(6, "D", "doc_03", None, None, None)],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, text string",
+    )
+    apply_batch(spark, table, ev_c, 2, compact=False)
+    r5 = neardup_clusters_sync(spark, table, cpath, band_path=bpath,
+                               rebuild_stale_fraction=0.0)
+    assert r5["action"] == "rebuild" and r5["stale_docs"] == 0
+    assert view() == full()
