@@ -87,11 +87,22 @@ def stream_apply_available_now(
     checkpoint_dir: str,
     *,
     max_files_per_trigger: int = 2,
+    schema: T.StructType = CHANGELOG_V1_SCHEMA,
+    post_batch=None,
     **apply_kw,
 ) -> None:
     """Structured-Streaming drive of the same MERGE: each source micro-batch
     is applied as one engine batch keyed past the current watermark; the
     sink's manifest watermark makes epoch replays no-ops (exactly-once).
+
+    ``post_batch(table, batch_id)`` (optional) runs driver-side after each
+    COMMITTED epoch — replayed/empty epochs never fire it. This is the hook
+    that keeps derived artifacts in step with the stream (see
+    ``index_sync_hook``): because every sync is version-diff based and
+    idempotent, a crash between the miniberg commit and the hook (or between
+    the hook and the Spark checkpoint commit) self-heals on the next epoch's
+    hook run. ``schema`` overrides the source schema for changelogs carrying
+    extra payload columns (text, embedding, ...).
 
     The epoch->batch_id mapping is scoped to the CHECKPOINT IDENTITY and an
     epoch is skipped only when the table props prove THIS checkpoint already
@@ -143,6 +154,8 @@ def stream_apply_available_now(
             except CommitConflict:
                 continue  # raced mid-commit: re-read the manifest and re-map
             if lineage:
+                if post_batch is not None:
+                    post_batch(table, batch_id)
                 return  # committed (a non-empty batch always yields lineage)
             # apply_batch saw a fresher watermark than we did and skipped:
             # loop to re-map against the new manifest
@@ -152,7 +165,7 @@ def stream_apply_available_now(
         )
 
     stream = (
-        spark.readStream.schema(CHANGELOG_V1_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(changelog_dir)
     )
@@ -163,3 +176,54 @@ def stream_apply_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def index_sync_hook(
+    spark: SparkSession,
+    *,
+    band_path: str | None = None,
+    ivf_path: str | None = None,
+    clusters_path: str | None = None,
+    sync_kw: dict | None = None,
+    results: list | None = None,
+):
+    """``post_batch`` composer: keep the persisted derived indexes in step
+    with a streamed miniberg table — index-follows-stream.
+
+    Each committed micro-batch triggers the configured syncs (band index,
+    IVF index, near-dup cluster table); every sync is a version diff from
+    the snapshot the index last represented, so per-micro-batch work is
+    O(batch blast radius), not O(corpus), and a replayed hook call is a
+    no-op. Order matters only for the cluster table, which consumes the band
+    index: it runs last and its internal ``band_index_sync`` call sees an
+    already-current index (noop). At 100 TB this is the serving story: the
+    stream commits a snapshot, the indexes advance incrementally, searches
+    read only probed cells/bands — no full rebuild on any hot path.
+
+    ``results`` (optional list) collects each sync's return dict, tagged
+    with index kind and batch_id, for observability/assertions."""
+    kw = sync_kw or {}
+
+    def hook(table: Miniberg, batch_id: int) -> None:
+        from recidiviz_data_spark.operators.dedup import (
+            band_index_sync,
+            neardup_clusters_sync,
+        )
+        from recidiviz_data_spark.operators.similarity import ivf_index_sync
+
+        outs = []
+        if band_path is not None:
+            outs.append(("band", band_index_sync(spark, table, band_path, **kw)))
+        if ivf_path is not None:
+            outs.append(("ivf", ivf_index_sync(spark, table, ivf_path, **kw)))
+        if clusters_path is not None:
+            outs.append(
+                ("clusters",
+                 neardup_clusters_sync(spark, table, clusters_path,
+                                       band_path=band_path, **kw))
+            )
+        if results is not None:
+            for kind, r in outs:
+                results.append({"kind": kind, "batch_id": batch_id, **r})
+
+    return hook

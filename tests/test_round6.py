@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.01")
 
@@ -910,3 +911,149 @@ def test_neardup_clusters_sync_incremental_cc(spark, tmp_path):
                                rebuild_stale_fraction=0.0)
     assert r5["action"] == "rebuild" and r5["stale_docs"] == 0
     assert view() == full()
+
+
+def test_index_follows_stream(spark, tmp_path):
+    """Structured-Streaming ingest with the index_sync_hook: every committed
+    micro-batch advances the persisted band index, IVF index, AND near-dup
+    cluster table — first epoch a full build, later epochs incremental
+    appends — and a checkpoint replay of the whole stream re-syncs nothing
+    (exactly-once extends to the hooks). Final artifacts must equal what a
+    from-scratch build over the final snapshot produces."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recidiviz_data_spark.cdc.apply import create_empty_table
+    from recidiviz_data_spark.operators.dedup import (
+        _band_sync_meta, band_index_bands, neardup_clusters_view,
+        x_neardup_clusters)
+    from recidiviz_data_spark.operators.similarity import (
+        ivf_index_search, table_vectors)
+    from recidiviz_data_spark.streaming.microbatch import (
+        index_sync_hook, stream_apply_available_now)
+
+    def pid(doc):
+        return int(hashlib.md5(doc.encode()).hexdigest()[:15], 16)
+
+    def emb(i):
+        return [float(10 + i), 1.0, float((i * 3) % 11 + 2), float((i * 5) % 13 + 2)]
+
+    def write_batch(bid, rows):
+        # rows: (event_seq, op, doc_id, text|None, emb|None)
+        bdir = tmp_path / "cl" / f"batch_id={bid}"
+        bdir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "event_seq": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "doc_id": pa.array([r[2] for r in rows], pa.string()),
+                "tokens": pa.array(
+                    [None if r[1] == "D" else [1] for r in rows],
+                    pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [None if r[1] == "D" else 1 for r in rows], pa.int32()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "embedding": pa.array([r[4] for r in rows],
+                                      pa.list_(pa.float32())),
+            }),
+            str(bdir / "part-0.parquet"),
+        )
+
+    # 30 docs: doc_00/doc_01 share an identical shingle set; doc_08/doc_09
+    # carry exact copies of doc_07's vector (cosine 1.0 twins)
+    def text_of(i):
+        return "common alpha beta gamma" if i < 2 else f"w{i}a w{i}b w{i}c w{i}d"
+
+    def emb_of(i):
+        return emb(7) if i in (8, 9) else emb(i)
+
+    write_batch(0, [(i + 1, "I", f"doc_{i:02d}", text_of(i), emb_of(i))
+                    for i in range(30)])
+    # epoch 2: doc_30 = text twin of doc_02 AND vector twin of doc_07;
+    # doc_08's vector moves far away (dead-list case); doc_05 deleted
+    write_batch(1, [
+        (31, "I", "doc_30", "w2a w2b w2c w2d", emb(7)),
+        (32, "U", "doc_08", text_of(8), [1000.0, 3.0, 5.0, 7.0]),
+        (33, "D", "doc_05", None, None),
+    ])
+    # epoch 3: the other vector twin deleted; one unrelated insert
+    write_batch(2, [
+        (34, "I", "doc_31", "w31a w31b w31c w31d", emb(31)),
+        (35, "D", "doc_09", None, None),
+    ])
+
+    schema = T.StructType([
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ])
+    payload = T.StructType([f for f in schema.fields
+                            if f.name not in ("event_seq", "op")])
+    table = create_empty_table(str(tmp_path / "t"), payload, num_buckets=4)
+    bp, ip, cp = (str(tmp_path / n) for n in ("bands", "ivf", "clusters"))
+    rs: list[dict] = []
+    hook = index_sync_hook(spark, band_path=bp, ivf_path=ip, clusters_path=cp,
+                           results=rs)
+
+    ckpt = str(tmp_path / "ck")
+    stream_apply_available_now(spark, table, str(tmp_path / "cl"), ckpt,
+                               max_files_per_trigger=1, schema=schema,
+                               post_batch=hook, compact=False)
+
+    # 3 epochs x 3 indexes; first epoch builds, the rest append
+    assert [r["kind"] for r in rs] == ["band", "ivf", "clusters"] * 3
+    assert all(r["action"] == "rebuild" for r in rs[:3])
+    assert all(r["action"] == "append" for r in rs[3:])
+    assert rs[-1]["live_docs"] == 30  # 30 + 2 inserts - 2 deletes
+
+    # every index represents the table's CURRENT snapshot
+    cur_v = table.current_version()
+    from recidiviz_data_spark.tables import artifacts
+    assert _band_sync_meta(bp)["version"] == cur_v
+    assert artifacts.sync_meta(ip)["version"] == cur_v
+    assert artifacts.sync_meta(cp)["version"] == cur_v
+
+    # band index: live probe pairs the streamed-in twin, drops deleted docs
+    live = band_index_bands(spark, bp, live=table.read(spark).select("doc_id"))
+    pairs = {
+        (a, b) for a, b in live.alias("x").join(
+            live.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h_lo") == F.col("y.h_lo"))
+            & (F.col("x.h_hi") == F.col("y.h_hi"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select("x.doc_id", "y.doc_id").distinct().collect()
+    }
+    assert ("doc_00", "doc_01") in pairs and ("doc_02", "doc_30") in pairs
+    assert not any("doc_05" in p or "doc_09" in p for p in pairs)
+
+    # IVF: only the streamed-in twin still scores 1.0 against doc_07 —
+    # the deleted twin and the moved vector are dead
+    q = table_vectors(table.read(spark)
+                      .filter("doc_id = 'doc_07'").select("doc_id", "embedding"))
+    top = ivf_index_search(spark, ip, q, k=3, nprobe=4).collect()
+    assert {r["neighbor_id"] for r in top if r["cosine"] == 1.0} == {pid("doc_30")}
+    assert pid("doc_09") not in {r["neighbor_id"] for r in top}
+
+    # cluster table == full exact reclustering of the final snapshot
+    view = {tuple(r) for r in neardup_clusters_view(spark, cp)
+            .select("doc_id", "cluster_id", "is_keeper", "cluster_size").collect()}
+    full = {tuple(r) for r in
+            x_neardup_clusters(spark, None,
+                               docs=table.read(spark).select("doc_id", "text"))
+            .select("doc_id", "cluster_id", "is_keeper", "cluster_size").collect()}
+    assert view == full
+    assert ("doc_30", "doc_02", False, 2) in view
+
+    # checkpoint replay: no new epochs, no new sync calls, version unchanged
+    n = len(rs)
+    stream_apply_available_now(spark, table, str(tmp_path / "cl"), ckpt,
+                               max_files_per_trigger=1, schema=schema,
+                               post_batch=hook, compact=False)
+    assert len(rs) == n and table.current_version() == cur_v
