@@ -514,7 +514,8 @@ def table_band_index_path(table) -> str:
     import os
     import tempfile
 
-    uid = table.manifest()["table_uuid"].replace("-", "")[:12]
+    uid = table.manifest()["table_uuid"].replace("-", "")[:12] + (
+        f"-{table.branch}" if getattr(table, "branch", None) else "")
     return os.path.join(tempfile.gettempdir(), f"rds_bandidx_tbl_{uid}")
 
 
@@ -561,7 +562,9 @@ def band_index_sync(spark, table, path: str | None = None, *,
 
     base = path or table_band_index_path(table)
     cur_v = table.current_version()
-    uid = table.manifest()["table_uuid"]
+    uid = table.manifest()["table_uuid"] + (
+        f"@{table.branch}" if getattr(table, "branch", None) else ""
+    )  # branch version numbering aliases main's: scope the sync identity
 
     def _rebuild() -> dict:
         docs = table.read(spark).select("doc_id", "text")
@@ -949,7 +952,8 @@ def table_clusters_path(table) -> str:
     import os
     import tempfile
 
-    uid = table.manifest()["table_uuid"].replace("-", "")[:12]
+    uid = table.manifest()["table_uuid"].replace("-", "")[:12] + (
+        f"-{table.branch}" if getattr(table, "branch", None) else "")
     return os.path.join(tempfile.gettempdir(), f"rds_clusters_tbl_{uid}")
 
 
@@ -1016,7 +1020,9 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
     base = path or table_clusters_path(table)
     bp = band_path or table_band_index_path(table)
     cur_v = table.current_version()
-    uid = table.manifest()["table_uuid"]
+    uid = table.manifest()["table_uuid"] + (
+        f"@{table.branch}" if getattr(table, "branch", None) else ""
+    )  # branch version numbering aliases main's: scope the sync identity
 
     def _rebuild() -> dict:
         docs = materialize(table.read(spark).select("doc_id", "text"))

@@ -635,7 +635,8 @@ def table_ivf_index_path(table) -> str:
     import os
     import tempfile
 
-    uid = table.manifest()["table_uuid"].replace("-", "")[:12]
+    uid = table.manifest()["table_uuid"].replace("-", "")[:12] + (
+        f"-{table.branch}" if getattr(table, "branch", None) else "")
     return os.path.join(tempfile.gettempdir(), f"rds_ivfidx_tbl_{uid}")
 
 
@@ -687,7 +688,9 @@ def ivf_index_sync(spark, table, path: str | None = None, *,
 
     base = path or table_ivf_index_path(table)
     cur_v = table.current_version()
-    uid = table.manifest()["table_uuid"]
+    uid = table.manifest()["table_uuid"] + (
+        f"@{table.branch}" if getattr(table, "branch", None) else ""
+    )  # branch version numbering aliases main's: scope the sync identity
     dead_schema = "vec_id long, dead_gen int"
 
     def _rebuild() -> dict:

@@ -174,4 +174,8 @@ def miniberg_source_key(table, version: int | None = None) -> str:
     the older snapshot (the round-5 verdict's 'key on the snapshot version,
     not a file mtime')."""
     m = table.manifest(version)
-    return f"miniberg:{m['table_uuid']}:v{m['version']}"
+    # a branch handle's version numbering aliases main's — scope the key so
+    # an index synced against a branch can never serve main's cache (or vice
+    # versa)
+    scope = f"@{table.branch}" if getattr(table, "branch", None) else ""
+    return f"miniberg:{m['table_uuid']}{scope}:v{m['version']}"

@@ -135,6 +135,13 @@ def expire_snapshots(
     )
 
     keep_files, keep_sidecars = collect_references(table, survivors)
+    for name in (table.branches() if table.branch is None else []):
+        # live branches pin their files/sidecars: expiring main snapshots
+        # must never reclaim data a staged (unpublished) branch references
+        bt = Miniberg(table.root, branch=name)
+        bf, bs = collect_references(bt, bt.versions())
+        keep_files |= bf
+        keep_sidecars |= bs
 
     removed: list[str] = []
     for v in versions:

@@ -80,6 +80,7 @@ import hashlib
 import json
 import math
 import os
+import re
 import shutil
 import uuid
 
@@ -98,6 +99,7 @@ INTERNAL_COLS = ("_seq", "_deleted")
 # summaries in bucket-RANGE manifests instead of inline in v{N}.json (see the
 # module docstring; tests monkeypatch this to exercise the layout cheaply)
 RANGE_LAYOUT_MIN_BUCKETS = 10_000
+_BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 
 # type-widening lattice (Iceberg's promotion rules subset)
 _WIDEN = {
@@ -139,12 +141,25 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
 
 
 class Miniberg:
-    def __init__(self, root: str):
+    def __init__(self, root: str, *, branch: str | None = None):
+        """``branch`` opens the table AT A BRANCH: an isolated manifest chain
+        under ``meta/branches/<name>/`` that shares the table's immutable
+        data files and content-addressed sidecars (``meta/fm/``) with main.
+        Every operation on a branch handle — read, time travel, commit with
+        CAS + rebase, compact, apply — works unchanged, scoped to the
+        branch's chain; main never observes branch commits until
+        ``publish_branch``. Lineage rows written on a branch live under the
+        branch too (they merge into main's at publish)."""
         self.root = root
-        self.meta_dir = os.path.join(root, "meta")
+        self.branch = branch
+        base_meta = os.path.join(root, "meta")
+        self.meta_dir = (
+            base_meta if branch is None
+            else os.path.join(base_meta, "branches", branch)
+        )
         self.data_dir = os.path.join(root, "data")
         self.lineage_dir = os.path.join(self.meta_dir, "lineage")
-        self.fm_dir = os.path.join(self.meta_dir, "fm")
+        self.fm_dir = os.path.join(base_meta, "fm")
 
     # ------------------------------------------------------------- creation
     @classmethod
@@ -1056,6 +1071,188 @@ class Miniberg:
         self._write_manifest(new["version"], new)
         return new["version"]
 
+    # ------------------------------------------------------------- branches
+    def create_branch(self, name: str, from_version: int | None = None) -> "Miniberg":
+        """Fork an isolated manifest chain at a snapshot (Iceberg's branch;
+        the staging surface for write-audit-publish). O(1) metadata: the
+        branch's first manifest re-references the fork snapshot's sidecars
+        verbatim — zero data bytes move. Returns the branch handle; commit
+        to it like any table. Two racing creators of the same name: one
+        wins the CAS, the other gets CommitConflict."""
+        if self.branch is not None:
+            raise ValueError("branches fork from main, not from a branch")
+        if not _BRANCH_NAME_RE.match(name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        v = self.current_version() if from_version is None else from_version
+        b = Miniberg(self.root, branch=name)
+        if glob.glob(os.path.join(b.meta_dir, "v*.json")):
+            raise CommitConflict(f"branch {name!r} already exists")
+        os.makedirs(b.lineage_dir, exist_ok=True)
+        m = dict(self.manifest(v))
+        m["branch"] = name
+        m["fork_version"] = v
+        b._write_manifest(v, m)
+        return b
+
+    def branch_handle(self, name: str) -> "Miniberg":
+        b = Miniberg(self.root, branch=name)
+        b.current_version()  # raises FileNotFoundError for an unknown branch
+        return b
+
+    def branches(self) -> list[str]:
+        d = os.path.join(self.root, "meta", "branches")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if glob.glob(os.path.join(d, n, "v*.json"))
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's manifest chain. Data files only it referenced
+        become orphans and are reclaimed by ``gc_orphans`` after the grace
+        window — the abandon half of write-audit-publish."""
+        d = os.path.join(self.root, "meta", "branches", name)
+        shutil.rmtree(d, ignore_errors=True)
+
+    def _layout_from_summaries(self, new: dict, summaries: dict[str, dict]) -> None:
+        """Install a full {bucket_str: summary-with-path} map into manifest
+        ``new`` under whatever layout its num_buckets calls for. Range
+        manifests are content-addressed, so regrouping rewrites nothing for
+        ranges whose contents did not change."""
+        nb = new["num_buckets"]
+        if nb > RANGE_LAYOUT_MIN_BUCKETS:
+            size = self._range_size(nb)
+            grouped: dict[str, dict] = {}
+            for bk, s in summaries.items():
+                grouped.setdefault(self._range_lo(int(bk), size), {})[bk] = s
+            ranges: dict[str, dict] = {}
+            for lo, rmap in sorted(grouped.items(), key=lambda kv: int(kv[0])):
+                rel = self._write_blob(json.dumps(rmap, sort_keys=True))
+                ranges[lo] = {
+                    "path": rel,
+                    "n_buckets": len(rmap),
+                    "n_files": sum(s["n_files"] for s in rmap.values()),
+                    "rows": sum(s.get("rows", 0) for s in rmap.values()),
+                    "bytes": sum(s.get("bytes", 0) for s in rmap.values()),
+                }
+            new["bucket_ranges"] = {"size": size, "ranges": ranges}
+            new.pop("buckets", None)
+        else:
+            new["buckets"] = dict(summaries)
+            new.pop("bucket_ranges", None)
+
+    def publish_branch(self, name: str, *, drop: bool = True,
+                       rebase_retries: int = 3) -> int:
+        """Merge a branch's state into main as ONE atomic commit — the
+        publish half of write-audit-publish. O(buckets) metadata: buckets
+        the branch touched (vs its fork snapshot) adopt the branch's sidecar
+        references verbatim; everything else carries from main's CURRENT
+        head, so main commits that landed since the fork on DISJOINT buckets
+        merge cleanly (same admissibility rule as commit()'s rebase). Real
+        conflicts raise CommitConflict: overlapping bucket rewrites,
+        both sides evolving schema, both sides advancing the changelog
+        watermark, or a bucket-function change racing any main movement.
+
+        Readers never see an intermediate state: the merge is a single
+        manifest CAS. Branch lineage rows merge into main's log. ``drop``
+        deletes the branch after publishing (its manifests are superseded;
+        its data files are now pinned by main)."""
+        b = self.branch_handle(name)
+        bv = b.current_version()
+        bm = b.manifest(bv)
+        fork = bm.get("fork_version")
+        if fork is None:
+            raise CommitConflict(f"branch {name!r} has no fork point recorded")
+        if bv == fork:
+            if drop:
+                self.drop_branch(name)
+            return self.current_version()  # nothing committed on the branch
+        fm = self.manifest(fork)
+        b_sum = self._bucket_map(bm)
+        f_sum = self._bucket_map(fm)
+        b_touched = {
+            bk for bk in set(b_sum) | set(f_sum)
+            if b_sum.get(bk, {}).get("path") != f_sum.get(bk, {}).get("path")
+        }
+        branch_schema = bm["schema_id"] != fm["schema_id"]
+        branch_fn = bm["num_buckets"] != fm["num_buckets"]
+        branch_wm = bm["last_applied_batch"] != fm["last_applied_batch"]
+        for _ in range(max(rebase_retries, 0) + 1):
+            hv = self.current_version()
+            hm = self.manifest(hv)
+            if hv != fork:
+                if branch_fn or hm["num_buckets"] != fm["num_buckets"]:
+                    raise CommitConflict(
+                        "bucket-function change cannot merge past a moved main"
+                    )
+                if branch_schema and hm["schema_id"] != fm["schema_id"]:
+                    raise CommitConflict(
+                        "both main and branch evolved the schema since the fork"
+                    )
+                if branch_wm and hm["last_applied_batch"] != fm["last_applied_batch"]:
+                    raise CommitConflict(
+                        "both main and branch advanced the changelog watermark "
+                        "since the fork"
+                    )
+                h_sum = self._bucket_map(hm)
+                m_touched = {
+                    bk for bk in set(h_sum) | set(f_sum)
+                    if h_sum.get(bk, {}).get("path") != f_sum.get(bk, {}).get("path")
+                }
+                if b_touched & m_touched:
+                    raise CommitConflict(
+                        f"branch {name!r} and main both rewrote buckets "
+                        f"{sorted(int(x) for x in (b_touched & m_touched))[:8]}"
+                    )
+            else:
+                h_sum = dict(f_sum)
+            merged = dict(h_sum)
+            for bk in b_touched:
+                if bk in b_sum:
+                    merged[bk] = b_sum[bk]
+                else:
+                    merged.pop(bk, None)
+            new = dict(hm)
+            new["version"] = hv + 1
+            new["parent"] = hv
+            if branch_schema:
+                new["schemas"] = bm["schemas"]
+                new["schema_id"] = bm["schema_id"]
+            if branch_fn:
+                new["num_buckets"] = bm["num_buckets"]
+                new["bucket_expr"] = bm["bucket_expr"]
+            if branch_wm:
+                new["last_applied_batch"] = max(
+                    bm["last_applied_batch"], hm["last_applied_batch"]
+                )
+            new["props"] = {
+                **hm.get("props", {}),
+                # branch prop CHANGES win (a carried prop stays main's)
+                **{k: v for k, v in bm.get("props", {}).items()
+                   if fm.get("props", {}).get(k) != v},
+                "published_branch": name,
+                "published_fork_version": fork,
+            }
+            new.pop("branch", None)
+            new.pop("fork_version", None)
+            self._layout_from_summaries(new, merged)
+            new.pop("files", None)
+            try:
+                self._write_manifest(new["version"], new)
+            except CommitConflict:
+                continue  # main moved: re-read the head and re-merge
+            for p in glob.glob(os.path.join(b.lineage_dir, "batch-*.json")):
+                dst = os.path.join(self.lineage_dir, os.path.basename(p))
+                if not os.path.exists(dst):
+                    shutil.copyfile(p, dst)
+            if drop:
+                self.drop_branch(name)
+            return new["version"]
+        raise CommitConflict(
+            f"could not publish branch {name!r} after {rebase_retries} rebases"
+        )
+
     def table_changes(
         self, spark: SparkSession, from_version: int, to_version: int,
         *, snapshot_seq: int | None = None,
@@ -1105,6 +1302,12 @@ class Miniberg:
         import time as _time
 
         referenced, referenced_sidecars = collect_references(self, self.versions())
+        for name in (self.branches() if self.branch is None else []):
+            # live branches pin their files/sidecars exactly like snapshots
+            bt = Miniberg(self.root, branch=name)
+            bf, bs = collect_references(bt, bt.versions())
+            referenced |= bf
+            referenced_sidecars |= bs
         now = _time.time()
         removed = gc_unreferenced(
             os.path.join(self.data_dir, "*.parquet"), referenced, grace_seconds, now
