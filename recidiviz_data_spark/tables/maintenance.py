@@ -116,8 +116,9 @@ def expire_snapshots(
     table: Miniberg, *, keep_last: int = 5, grace_seconds: float = 3600.0
 ) -> list[str]:
     """Delete manifests older than the last ``keep_last`` versions, then GC
-    data files referenced by NO surviving snapshot. The current version is
-    always kept; time travel is limited to the survivors.
+    data files referenced by NO surviving snapshot. The current version and
+    every tag-pinned version are always kept; time travel is limited to the
+    survivors.
 
     ``grace_seconds``: unreferenced data files younger than this are kept —
     a concurrent writer stages files into data/ BEFORE its manifest CAS, so
@@ -129,6 +130,10 @@ def expire_snapshots(
     # have left gaps). keep_last=0 must mean "current only" — a bare
     # versions[-0:] slice would return EVERYTHING and expire nothing
     survivors = versions[-keep_last:] if keep_last > 0 else versions[-1:]
+    # tag-pinned snapshots survive regardless of age (Iceberg tag semantics):
+    # a tag is the retention contract for audits/repro — expiry may never
+    # break `read(version=table.ref(name))`
+    survivors = sorted(set(survivors) | (set(table.tags().values()) & set(versions)))
     from recidiviz_data_spark.tables.miniberg import (
         collect_references,
         gc_unreferenced,

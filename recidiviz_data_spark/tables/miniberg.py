@@ -1071,6 +1071,50 @@ class Miniberg:
         self._write_manifest(new["version"], new)
         return new["version"]
 
+    # ----------------------------------------------------------------- tags
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (Iceberg tag): the tagged
+        version survives ``expire_snapshots`` until untagged, and
+        ``read(version=table.ref(name))`` time-travels to it by name. Tags
+        are create-once (O_EXCL — racing taggers: one wins, the rest raise);
+        re-pointing a name means untag + tag."""
+        if not _BRANCH_NAME_RE.match(name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        v = self.current_version() if version is None else version
+        self.manifest(v)  # raises for a nonexistent version
+        d = os.path.join(self.meta_dir, "tags")
+        os.makedirs(d, exist_ok=True)
+        try:
+            with open(os.path.join(d, f"{name}.json"), "x") as f:
+                json.dump({"version": v}, f)
+        except FileExistsError as e:
+            raise CommitConflict(f"tag {name!r} already exists") from e
+        return v
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.meta_dir, "tags")
+        out: dict[str, int] = {}
+        for p in glob.glob(os.path.join(d, "*.json")):
+            try:
+                with open(p) as f:
+                    out[os.path.basename(p)[:-5]] = json.load(f)["version"]
+            except (OSError, ValueError, KeyError):
+                continue  # racing untag / partial write: skip
+        return out
+
+    def ref(self, name: str) -> int:
+        """Resolve a tag name to its pinned snapshot version."""
+        t = self.tags()
+        if name not in t:
+            raise FileNotFoundError(f"no tag {name!r} on {self.root}")
+        return t[name]
+
+    def untag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self.meta_dir, "tags", f"{name}.json"))
+        except FileNotFoundError:
+            pass
+
     # ------------------------------------------------------------- branches
     def create_branch(self, name: str, from_version: int | None = None) -> "Miniberg":
         """Fork an isolated manifest chain at a snapshot (Iceberg's branch;

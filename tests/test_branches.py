@@ -190,6 +190,49 @@ def test_branch_pins_gc_and_snapshot_expiry(spark, tmp_path):
     assert got["doc_02"] == [41] and "doc_77" not in got
 
 
+def test_tags_pin_snapshots_against_expiry(spark, tmp_path):
+    """Tags are immutable named snapshots (Iceberg tag semantics): a tagged
+    version survives expire_snapshots — including its data files under
+    zero-grace GC — until untagged; tag names are create-once."""
+    table = _mk_table(spark, tmp_path)
+    v0 = table.current_version()
+    base = _tokens(spark, table)
+    assert table.tag("audit-q3") == v0
+    assert table.tags() == {"audit-q3": v0}
+    with pytest.raises(CommitConflict, match="already exists"):
+        table.tag("audit-q3")  # create-once: re-point = untag + tag
+    with pytest.raises(ValueError):
+        table.tag("bad/name")
+    with pytest.raises(FileNotFoundError):
+        table.tag("ghost", version=v0 + 999)  # can't pin a missing snapshot
+
+    for i in range(3):
+        apply_batch(
+            spark, table,
+            spark.createDataFrame([(i + 1, "U", "doc_00", [50 + i], 1)], EV_SCHEMA),
+            i, compact=False,
+        )
+    head = table.current_version()
+    expire_snapshots(table, keep_last=1, grace_seconds=0)
+    # only the head and the pinned snapshot survive; the pin is fully
+    # readable by name (manifest, sidecars, AND data files kept by the GC)
+    assert table.versions() == sorted({v0, head})
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in table.read(spark, version=table.ref("audit-q3")).collect()
+    }
+    assert got == base
+
+    # untag releases the pin: the next expiry reclaims manifest + files
+    table.untag("audit-q3")
+    table.untag("audit-q3")  # idempotent
+    expire_snapshots(table, keep_last=1, grace_seconds=0)
+    assert table.versions() == [head]
+    with pytest.raises(FileNotFoundError):
+        table.ref("audit-q3")
+    assert _tokens(spark, table)["doc_00"] == [52]  # head intact
+
+
 def test_write_audit_publish_gate(spark, tmp_path):
     """The WAP gate: a failing audit leaves main byte-identical and drops
     the branch; a passing audit publishes atomically."""
