@@ -133,18 +133,32 @@ def expire_snapshots(
     # tag-pinned snapshots survive regardless of age (Iceberg tag semantics):
     # a tag is the retention contract for audits/repro — expiry may never
     # break `read(version=table.ref(name))`
-    survivors = sorted(set(survivors) | (set(table.tags().values()) & set(versions)))
+    survivors = set(survivors) | (set(table.tags().values()) & set(versions))
     from recidiviz_data_spark.tables.miniberg import (
         collect_references,
         gc_unreferenced,
     )
 
-    keep_files, keep_sidecars = collect_references(table, survivors)
+    branch_pins: set[int] = set()
+    branch_refs: list[tuple[set, set]] = []
     for name in (table.branches() if table.branch is None else []):
         # live branches pin their files/sidecars: expiring main snapshots
         # must never reclaim data a staged (unpublished) branch references
         bt = Miniberg(table.root, branch=name)
         bf, bs = collect_references(bt, bt.versions())
+        branch_refs.append((bf, bs))
+        try:
+            # publish_branch diffs the branch against main's manifest AT THE
+            # FORK VERSION — expiring it would strand the branch (publish
+            # would crash, not conflict), so a live branch pins its fork
+            # snapshot exactly like a tag does
+            branch_pins.add(bt.manifest()["fork_version"])
+        except (FileNotFoundError, KeyError):
+            pass  # branch dropped mid-scan / pre-fork-tracking manifest
+    survivors = sorted(survivors | (branch_pins & set(versions)))
+
+    keep_files, keep_sidecars = collect_references(table, survivors)
+    for bf, bs in branch_refs:
         keep_files |= bf
         keep_sidecars |= bs
 

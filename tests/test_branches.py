@@ -190,6 +190,37 @@ def test_branch_pins_gc_and_snapshot_expiry(spark, tmp_path):
     assert got["doc_02"] == [41] and "doc_77" not in got
 
 
+def test_branch_publishes_after_fork_snapshot_expiry(spark, tmp_path):
+    """A live branch pins its FORK snapshot's manifest against
+    expire_snapshots: publish_branch diffs the branch against main AT THE
+    FORK VERSION, so expiring it would strand the branch (a crash, not a
+    conflict). Dropping/publishing the branch releases the pin."""
+    table = _mk_table(spark, tmp_path)
+    fork_v = table.current_version()
+    br = table.create_branch("stage")
+    apply_batch(
+        spark, br,
+        spark.createDataFrame([(1, "I", "doc_77", [7], 1)], EV_SCHEMA),
+        0, compact=False,
+    )
+    # main advances on the DISJOINT bucket (compaction: no watermark
+    # movement), then expires history to its head — the live branch must
+    # keep main's fork manifest alive (like a tag)
+    other = 1 - _buckets_of(spark, ["doc_77"], 2)["doc_77"]
+    assert compact(spark, table, buckets=[other], tombstone_horizon=-1) is not None
+    expire_snapshots(table, keep_last=1, grace_seconds=0)
+    assert fork_v in table.versions()  # pinned by the live branch
+
+    v = table.publish_branch("stage")  # crashes without the pin
+    got = _tokens(spark, table)
+    assert got["doc_77"] == [7] and len(got) == 13
+    assert table.current_version() == v
+
+    # publish dropped the branch -> the pin is released with it
+    expire_snapshots(table, keep_last=1, grace_seconds=0)
+    assert table.versions() == [v]
+
+
 def test_tags_pin_snapshots_against_expiry(spark, tmp_path):
     """Tags are immutable named snapshots (Iceberg tag semantics): a tagged
     version survives expire_snapshots — including its data files under
