@@ -427,57 +427,82 @@ def band_index_build(spark, sf_dir, path: str | None = None, *,
 
 
 def band_index_append(spark, path: str, new_docs, *,
-                      meta: dict | None = None) -> int:
+                      meta: dict | None = None,
+                      expected_seq="auto") -> int:
     """Incremental ingest: compute band rows for the NEW batch only (its
     shingles filtered by the index's FROZEN hot list — no corpus re-scan,
     the exact analog of ivf_index_append's assign-to-existing-centroids),
     then publish a new index version: unchanged band files carried as
     hardlinks, appended rows added, sizes merged. Atomic flip — a racing
-    prober sees the whole old or whole new index. Returns appended rows.
+    prober sees the whole old or whole new index; the publish is a CAS, so
+    a CONCURRENT append loses the flip, recomputes against the winner's
+    version, and lands too (no lost update). Returns appended rows.
     ``meta`` replaces the payload's ``sync.json`` (never hardlink-carried —
-    each version's sync record is its own)."""
+    each version's sync record is its own). ``expected_seq``: "auto"
+    retries internally (each attempt recomputes from the then-current
+    version — right for independent batches); an explicit seq from
+    ``resolve_full`` propagates ``ArtifactConflict`` to the caller instead
+    (the sync lifecycles re-enter themselves: a blind retry would re-append
+    rows the conflicting sync already landed)."""
     import json
     import os
 
     from recidiviz_data_spark.tables import artifacts
 
-    r = artifacts.resolve(path)
-    payload, old_key = (r if r is not None else (path, "raw"))
-    hot = spark.read.parquet(os.path.join(payload, "hot"))
-    sh_new = _shingles(spark, None, docs=new_docs).join(
-        F.broadcast(hot), "shingle", "left_anti"
-    )
-    new_bands = _band_rows(sh_new).localCheckpoint()  # written + size-merged
-    n = new_bands.count()
-    old_sizes = spark.read.parquet(os.path.join(payload, "sizes"))
-    merged = (
-        old_sizes.withColumnRenamed("n", "n_old")
-        .join(
-            new_bands.groupBy("band", "h_lo", "h_hi").agg(F.count("*").alias("n_new")),
-            ["band", "h_lo", "h_hi"],
-            "full_outer",
+    while True:
+        r = artifacts.resolve_full(path)
+        payload, old_key, seq = (r if r is not None else (path, "raw", None))
+        if expected_seq != "auto":
+            payload_seq = seq
+            seq = expected_seq
+            if payload_seq != expected_seq:
+                # the index moved between the caller's resolve and ours —
+                # same outcome as losing the flip
+                raise artifacts.ArtifactConflict(
+                    f"artifact under {path} moved: seq {payload_seq} != "
+                    f"expected {expected_seq}"
+                )
+        hot = spark.read.parquet(os.path.join(payload, "hot"))
+        sh_new = _shingles(spark, None, docs=new_docs).join(
+            F.broadcast(hot), "shingle", "left_anti"
         )
-        .select(
-            "band", "h_lo", "h_hi",
-            (F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))).alias("n"),
+        new_bands = _band_rows(sh_new).localCheckpoint()  # written + size-merged
+        n = new_bands.count()
+        old_sizes = spark.read.parquet(os.path.join(payload, "sizes"))
+        merged = (
+            old_sizes.withColumnRenamed("n", "n_old")
+            .join(
+                new_bands.groupBy("band", "h_lo", "h_hi").agg(F.count("*").alias("n_new")),
+                ["band", "h_lo", "h_hi"],
+                "full_outer",
+            )
+            .select(
+                "band", "h_lo", "h_hi",
+                (F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))).alias("n"),
+            )
+            .localCheckpoint()  # sizes must be computed BEFORE staging links them
         )
-        .localCheckpoint()  # sizes must be computed BEFORE staging links them
-    )
 
-    def _build(stage: str) -> None:
-        os.makedirs(stage)
-        artifacts.link_tree(os.path.join(payload, "bands"), os.path.join(stage, "bands"))
-        artifacts.link_tree(os.path.join(payload, "hot"), os.path.join(stage, "hot"))
-        new_bands.write.mode("append").partitionBy("band").parquet(
-            os.path.join(stage, "bands")
-        )
-        merged.write.parquet(os.path.join(stage, "sizes"))
-        if meta is not None:
-            with open(os.path.join(stage, "sync.json"), "w") as f:
-                json.dump(meta, f)
+        def _build(stage: str) -> None:
+            os.makedirs(stage)
+            artifacts.link_tree(os.path.join(payload, "bands"), os.path.join(stage, "bands"))
+            artifacts.link_tree(os.path.join(payload, "hot"), os.path.join(stage, "hot"))
+            new_bands.write.mode("append").partitionBy("band").parquet(
+                os.path.join(stage, "bands")
+            )
+            merged.write.parquet(os.path.join(stage, "sizes"))
+            if meta is not None:
+                with open(os.path.join(stage, "sync.json"), "w") as f:
+                    json.dump(meta, f)
 
-    artifacts.publish(path, artifacts.mutated_key(old_key), _build)
-    return n
+        try:
+            artifacts.publish(path, artifacts.mutated_key(old_key), _build,
+                              expected_seq=seq)
+            return n
+        except artifacts.ArtifactConflict:
+            if expected_seq != "auto":
+                raise  # the caller owns the conflict (sync re-entry)
+            continue  # a concurrent mutation won: recompute against it
 
 
 def band_index_bands(spark, path: str, *, band_cap=MINHASH_BAND_CAP, live=None):
@@ -559,6 +584,7 @@ def band_index_sync(spark, table, path: str | None = None, *,
     Returns {action, version, live_docs, stale_docs, appended_docs,
     appended_rows}."""
     from recidiviz_data_spark.cdc.differ import snapshot_diff
+    from recidiviz_data_spark.tables import artifacts
 
     base = path or table_band_index_path(table)
     cur_v = table.current_version()
@@ -578,7 +604,11 @@ def band_index_sync(spark, table, path: str | None = None, *,
         return {"action": "rebuild", "version": cur_v, "live_docs": live,
                 "stale_docs": 0, "appended_docs": 0, "appended_rows": 0}
 
-    meta = _band_sync_meta(base)
+    # ONE resolve: the meta we plan from and the seq we CAS on must come
+    # from the same pointer state (re-resolving later could straddle a
+    # concurrent sync's publish)
+    r0 = artifacts.resolve_full(base)
+    meta = artifacts.sync_meta_at(r0[0]) if r0 is not None else None
     if meta is None or meta.get("table_uuid") != uid or meta["version"] > cur_v:
         return _rebuild()
     if meta["version"] == cur_v:
@@ -599,12 +629,19 @@ def band_index_sync(spark, table, path: str | None = None, *,
     stale = meta["stale_docs"] + n_u + n_d
     if stale > rebuild_stale_fraction * max(live, 1):
         return _rebuild()
-    rows = band_index_append(
-        spark, base,
-        changes.filter(F.col("op").isin("I", "U")).select("doc_id", "text"),
-        meta={"table_uuid": uid, "version": cur_v,
-              "live_docs": live, "stale_docs": stale},
-    )
+    try:
+        rows = band_index_append(
+            spark, base,
+            changes.filter(F.col("op").isin("I", "U")).select("doc_id", "text"),
+            meta={"table_uuid": uid, "version": cur_v,
+                  "live_docs": live, "stale_docs": stale},
+            expected_seq=r0[2],
+        )
+    except artifacts.ArtifactConflict:
+        # a concurrent sync advanced the index: re-enter against its state
+        # (same version pair -> noop; further table movement -> fresh diff)
+        return band_index_sync(spark, table, path,
+                               rebuild_stale_fraction=rebuild_stale_fraction)
     return {"action": "append", "version": cur_v, "live_docs": live,
             "stale_docs": stale, "appended_docs": n_i + n_u,
             "appended_rows": rows}
@@ -1042,7 +1079,11 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
         return {"action": "rebuild", "version": cur_v, "live_docs": live,
                 "stale_docs": 0, "new_edges": 0}
 
-    meta = artifacts.sync_meta(base)
+    # ONE resolve: the meta we plan from and the seq we CAS on must come
+    # from the same pointer state (re-resolving later could straddle a
+    # concurrent sync's publish)
+    r0 = artifacts.resolve_full(base)
+    meta = artifacts.sync_meta_at(r0[0]) if r0 is not None else None
     if meta is None or meta.get("table_uuid") != uid or meta["version"] > cur_v:
         band_index_sync(spark, table, bp)
         return _rebuild()
@@ -1066,8 +1107,7 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
     if stale > rebuild_stale_fraction * max(live, 1):
         return _rebuild()
 
-    r = artifacts.resolve(base)
-    payload, old_key = r
+    payload, old_key, seq = r0
     cur = spark.read.parquet(os.path.join(payload, "clusters"))
     new_docs = materialize(
         changes.filter(F.col("op").isin("I", "U")).select("doc_id", "text")
@@ -1215,7 +1255,16 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
         with open(os.path.join(stage, "sync.json"), "w") as f:
             json.dump(new_meta, f)
 
-    artifacts.publish(base, artifacts.mutated_key(old_key), _build)
+    try:
+        artifacts.publish(base, artifacts.mutated_key(old_key), _build,
+                          expected_seq=seq)
+    except artifacts.ArtifactConflict:
+        # a concurrent sync advanced the cluster table: re-enter against its
+        # state (deterministic per version pair — usually lands as a noop)
+        return neardup_clusters_sync(
+            spark, table, path, band_path=band_path,
+            rebuild_stale_fraction=rebuild_stale_fraction,
+        )
     return {"action": "append", "version": cur_v, "live_docs": live,
             "stale_docs": stale, "new_edges": n_edges}
 

@@ -572,29 +572,36 @@ def ivf_index_append(spark, path: str, new_vectors) -> int:
     and publish a NEW index version whose unchanged cell files are hardlinks
     to the previous version's (no data copy) plus the appended rows. The
     flip is atomic: a racing searcher reads the whole old version or the
-    whole new one, never a cell-partial append. At lake scale the batch is
-    small, the centroid table broadcasts, and only the touched cell
-    directories gain files. Returns the number of vectors appended."""
+    whole new one, never a cell-partial append; the publish is a CAS, so a
+    CONCURRENT append/refresh loses the flip, recomputes against the
+    winner's version, and lands too (no lost update). At lake scale the
+    batch is small, the centroid table broadcasts, and only the touched
+    cell directories gain files. Returns the number of vectors appended."""
     import os
 
     from recidiviz_data_spark.tables import artifacts
 
-    r = artifacts.resolve(path)
-    payload, old_key = (r if r is not None else (path, "raw"))
-    cents = spark.read.parquet(os.path.join(payload, "centroids"))
-    assigned = new_vectors.select("vec_id", "label", "v", "n2").join(
-        _nearest_cent(new_vectors, cents).select("vec_id", "cent_id"), "vec_id"
-    ).select("vec_id", "label", "v", "n2", F.col("cent_id").alias("cell"))
-    n = assigned.count()
+    while True:
+        r = artifacts.resolve_full(path)
+        payload, old_key, seq = (r if r is not None else (path, "raw", None))
+        cents = spark.read.parquet(os.path.join(payload, "centroids"))
+        assigned = new_vectors.select("vec_id", "label", "v", "n2").join(
+            _nearest_cent(new_vectors, cents).select("vec_id", "cent_id"), "vec_id"
+        ).select("vec_id", "label", "v", "n2", F.col("cent_id").alias("cell"))
+        n = assigned.count()
 
-    def _build(stage: str) -> None:
-        artifacts.link_tree(payload, stage)
-        assigned.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(stage, "vectors")
-        )
+        def _build(stage: str) -> None:
+            artifacts.link_tree(payload, stage)
+            assigned.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(stage, "vectors")
+            )
 
-    artifacts.publish(path, artifacts.mutated_key(old_key), _build)
-    return n
+        try:
+            artifacts.publish(path, artifacts.mutated_key(old_key), _build,
+                              expected_seq=seq)
+            return n
+        except artifacts.ArtifactConflict:
+            continue  # a concurrent mutation won: recompute against it
 
 
 def ivf_index_refresh(spark, path: str) -> str:
@@ -603,30 +610,37 @@ def ivf_index_refresh(spark, path: str) -> str:
     layout as a fresh immutable version behind the atomic CURRENT flip — a
     concurrent searcher resolves the old version (complete, untouched) or
     the new one, NEVER new centroids against old cells (the round-5 verdict
-    `weak`, closed by the artifact store)."""
+    `weak`, closed by the artifact store). CAS publish: a refresh racing an
+    append recomputes over the append's rows instead of silently dropping
+    them."""
     import os
 
     from recidiviz_data_spark.tables import artifacts
 
-    r = artifacts.resolve(path)
-    payload, old_key = (r if r is not None else (path, "raw"))
-    vecs = spark.read.parquet(os.path.join(payload, "vectors")).select(
-        "vec_id", "label", "v", "n2", F.col("cell").alias("cent_id")
-    )
-    # consumed by the Lloyd step, the re-assign, and the join — materialize once
-    iv = vecs.select("vec_id", "label", "v", "n2").localCheckpoint()
-    cents = _lloyd_step(iv, vecs.select("vec_id", "cent_id")).localCheckpoint()
-    assign = _nearest_cent(iv, cents)
-    out = iv.join(assign.select("vec_id", "cent_id"), "vec_id").select(
-        "vec_id", "label", "v", "n2", F.col("cent_id").alias("cell")
-    )
+    while True:
+        r = artifacts.resolve_full(path)
+        payload, old_key, seq = (r if r is not None else (path, "raw", None))
+        vecs = spark.read.parquet(os.path.join(payload, "vectors")).select(
+            "vec_id", "label", "v", "n2", F.col("cell").alias("cent_id")
+        )
+        # consumed by the Lloyd step, the re-assign, and the join — materialize once
+        iv = vecs.select("vec_id", "label", "v", "n2").localCheckpoint()
+        cents = _lloyd_step(iv, vecs.select("vec_id", "cent_id")).localCheckpoint()
+        assign = _nearest_cent(iv, cents)
+        out = iv.join(assign.select("vec_id", "cent_id"), "vec_id").select(
+            "vec_id", "label", "v", "n2", F.col("cent_id").alias("cell")
+        )
 
-    def _build(stage: str) -> None:
-        out.write.partitionBy("cell").parquet(os.path.join(stage, "vectors"))
-        cents.write.parquet(os.path.join(stage, "centroids"))
+        def _build(stage: str) -> None:
+            out.write.partitionBy("cell").parquet(os.path.join(stage, "vectors"))
+            cents.write.parquet(os.path.join(stage, "centroids"))
 
-    artifacts.publish(path, artifacts.mutated_key(old_key), _build)
-    return path
+        try:
+            artifacts.publish(path, artifacts.mutated_key(old_key), _build,
+                              expected_seq=seq)
+            return path
+        except artifacts.ArtifactConflict:
+            continue  # a concurrent mutation won: recompute against it
 
 
 def table_ivf_index_path(table) -> str:
@@ -720,7 +734,11 @@ def ivf_index_sync(spark, table, path: str | None = None, *,
         return {"action": "rebuild", "version": cur_v, "live_docs": live,
                 "stale_docs": 0, "appended_docs": 0}
 
-    meta = artifacts.sync_meta(base)
+    # ONE resolve: the meta we plan from and the seq we CAS on must come
+    # from the same pointer state (re-resolving later could straddle a
+    # concurrent sync's publish)
+    r0 = artifacts.resolve_full(base)
+    meta = artifacts.sync_meta_at(r0[0]) if r0 is not None else None
     if meta is None or meta.get("table_uuid") != uid or meta["version"] > cur_v:
         return _rebuild()
     if meta["version"] == cur_v:
@@ -742,8 +760,7 @@ def ivf_index_sync(spark, table, path: str | None = None, *,
     if stale > rebuild_stale_fraction * max(live, 1):
         return _rebuild()
 
-    r = artifacts.resolve(base)
-    payload, old_key = r
+    payload, old_key, seq = r0
     cents = spark.read.parquet(os.path.join(payload, "centroids"))
     new_vecs = table_vectors(
         changes.filter(F.col("op").isin("I", "U")).select("doc_id", "embedding")
@@ -783,7 +800,17 @@ def ivf_index_sync(spark, table, path: str | None = None, *,
         with open(os.path.join(stage, "sync.json"), "w") as f:
             json.dump(new_meta, f)
 
-    artifacts.publish(base, artifacts.mutated_key(old_key), _build)
+    try:
+        artifacts.publish(base, artifacts.mutated_key(old_key), _build,
+                          expected_seq=seq)
+    except artifacts.ArtifactConflict:
+        # a concurrent sync advanced the index: re-enter against its state
+        # (deterministic per version pair — usually lands as a noop)
+        return ivf_index_sync(
+            spark, table, path,
+            rebuild_stale_fraction=rebuild_stale_fraction,
+            lloyd_iters=lloyd_iters,
+        )
     return {"action": "append", "version": cur_v, "live_docs": live,
             "stale_docs": stale, "appended_docs": n_i + n_u}
 

@@ -27,13 +27,18 @@ miniberg manifest gives data files:
 
 Concurrency: two racing builders both publish complete versions; the last
 pointer flip wins and both contents are valid (artifacts here are
-deterministic functions of their key). MUTATING lifecycles (append/refresh)
-are last-flip-wins too — two concurrent appends each build from the same
-parent and one append's rows are absent from the winner, so a deployment
-runs ONE index-maintenance writer per artifact (the standard contract for
-search-index ingest; readers need no coordination either way). Superseded
-versions are garbage-collected after a grace window that restarts at the
-moment a version is superseded, long enough for in-flight readers.
+deterministic functions of their key). MUTATING lifecycles (append/refresh/
+sync) are **compare-and-swap**: the pointer carries a monotonic ``seq``,
+and a mutator publishes with ``expected_seq`` = the seq of the version it
+built FROM — if another mutation landed in between, the publish raises
+``ArtifactConflict`` and the caller recomputes against the new current
+version (every mutating lifecycle in-repo retries this way), so concurrent
+appends BOTH land instead of one silently vanishing under last-flip-wins.
+The CAS lock is held only across the microsecond pointer flip — never
+across a Spark job — and is taken over by age if a holder crashes.
+Readers need no coordination. Superseded versions are garbage-collected
+after a grace window that restarts at the moment a version is superseded,
+long enough for in-flight readers.
 """
 
 from __future__ import annotations
@@ -47,41 +52,113 @@ import uuid
 
 CURRENT = "CURRENT"
 DEFAULT_GRACE_SECS = 600.0
+_FLIP_LOCK_STALE_SECS = 10.0  # the lock spans one pointer flip, never a job
+
+
+class ArtifactConflict(Exception):
+    """Another mutation published first (CAS failure): the version this
+    mutation was built from is no longer current. Recompute and retry."""
 
 
 def resolve(base: str) -> tuple[str, str] | None:
     """(payload_dir, key) of the current version, or None if nothing is
     published. The pointer read and the rename that replaces it are both
     atomic, so a racing refresh can never yield a torn pointer."""
-    try:
-        with open(os.path.join(base, CURRENT)) as f:
-            p = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
+    r = resolve_full(base)
+    return None if r is None else (r[0], r[1])
+
+
+def resolve_full(base: str) -> tuple[str, str, int] | None:
+    """(payload_dir, key, seq) — ``seq`` is the pointer's monotonic flip
+    counter, the token a MUTATING lifecycle passes back as ``publish``'s
+    ``expected_seq`` to detect a concurrent mutation (pre-seq pointers read
+    as 0)."""
+    p = _read_ptr(base)
+    if p is None:
         return None
     payload = os.path.join(base, p["dir"])
     if not os.path.isdir(payload):
         return None  # pointer to a GC'd/missing version — treat as absent
-    return payload, p["key"]
+    return payload, p["key"], p.get("seq", 0)
 
 
-def publish(base: str, key: str, build_fn) -> str:
-    """Build a new version and atomically flip CURRENT to it. ``build_fn``
-    receives a staging path that does NOT yet exist (Spark's parquet writer
-    creates it; multi-part builders mkdir it themselves) and must leave the
-    complete payload there. Returns the published payload dir."""
-    os.makedirs(base, exist_ok=True)
-    stage = os.path.join(base, f"stage-{os.getpid()}-{uuid.uuid4().hex[:8]}")
-    prev = resolve(base)
+def _read_ptr(base: str) -> dict | None:
     try:
-        build_fn(stage)
-        vname = f"v-{uuid.uuid4().hex[:12]}"
-        os.rename(stage, os.path.join(base, vname))
+        with open(os.path.join(base, CURRENT)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _flip(base: str, vname: str, key: str, expected_seq: int | None) -> None:
+    """Serialize the pointer flip under a short O_EXCL lock and enforce the
+    CAS: with ``expected_seq`` set, the flip lands only if no other flip
+    happened since that seq was read (else ``ArtifactConflict``). The lock
+    never spans a build — acquire-to-release is a read + a rename — so a
+    stale lock (crashed holder) is taken over by age."""
+    lock = os.path.join(base, ".ptr.lock")
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                stale = time.time() - os.path.getmtime(lock) > _FLIP_LOCK_STALE_SECS
+            except OSError:
+                continue  # holder released between the open and the stat
+            if stale:
+                try:
+                    os.unlink(lock)  # crashed holder: take the lock over
+                except FileNotFoundError:
+                    pass
+                continue
+            time.sleep(0.005)
+    try:
+        cur = _read_ptr(base)
+        seq = (cur or {}).get("seq", 0)
+        if expected_seq is not None and (cur is None or seq != expected_seq):
+            raise ArtifactConflict(
+                f"artifact under {base} moved: seq {seq} != expected {expected_seq}"
+            )
         tmp = os.path.join(base, f".ptr-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
-            json.dump({"dir": vname, "key": key}, f)
+            json.dump({"dir": vname, "key": key, "seq": seq + 1}, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(base, CURRENT))  # THE atomic flip
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass  # a takeover stole the lock mid-flip (holder looked stale)
+
+
+def publish(base: str, key: str, build_fn, *, expected_seq: int | None = None) -> str:
+    """Build a new version and atomically flip CURRENT to it. ``build_fn``
+    receives a staging path that does NOT yet exist (Spark's parquet writer
+    creates it; multi-part builders mkdir it themselves) and must leave the
+    complete payload there. Returns the published payload dir.
+
+    ``expected_seq`` (from ``resolve_full``) makes the publish a
+    compare-and-swap: if another publication flipped the pointer since that
+    seq was read, the built version is discarded and ``ArtifactConflict``
+    raises — the mutating-lifecycle contract (the caller recomputes against
+    the new current version and retries)."""
+    os.makedirs(base, exist_ok=True)
+    stage = os.path.join(base, f"stage-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    prev = resolve(base)
+    vname = f"v-{uuid.uuid4().hex[:12]}"
+    try:
+        build_fn(stage)
+        os.rename(stage, os.path.join(base, vname))
+        try:
+            _flip(base, vname, key, expected_seq)
+        except ArtifactConflict:
+            # nothing ever referenced the lost version: remove it now rather
+            # than leaving it for gc_versions' grace window
+            shutil.rmtree(os.path.join(base, vname), ignore_errors=True)
+            raise
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     if prev is not None:
@@ -152,10 +229,16 @@ def sync_meta(base: str) -> dict | None:
     CDC-sync lifecycles — band_index_sync / ivf_index_sync), or None if the
     artifact is missing or was not built through a sync lifecycle."""
     r = resolve(base)
-    if r is None:
-        return None
+    return None if r is None else sync_meta_at(r[0])
+
+
+def sync_meta_at(payload: str) -> dict | None:
+    """``sync.json`` of one SPECIFIC version payload — the form the sync
+    lifecycles use so the bookkeeping they read and the seq they CAS on come
+    from the same ``resolve_full`` snapshot (re-resolving in between could
+    straddle a concurrent publish)."""
     try:
-        with open(os.path.join(r[0], "sync.json")) as f:
+        with open(os.path.join(payload, "sync.json")) as f:
             return json.load(f)
     except (FileNotFoundError, ValueError):
         return None

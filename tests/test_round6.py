@@ -1057,3 +1057,180 @@ def test_index_follows_stream(spark, tmp_path):
                                max_files_per_trigger=1, schema=schema,
                                post_batch=hook, compact=False)
     assert len(rs) == n and table.current_version() == cur_v
+
+
+# ------------------------------------------------ artifact-store CAS (late r6)
+def test_artifact_publish_cas(tmp_path):
+    """Mutating publishes are compare-and-swap on the pointer's seq: a
+    publish expecting a stale seq raises ArtifactConflict, its
+    never-referenced version dir is removed immediately, and the winner's
+    payload stays current (no lost update under last-flip-wins)."""
+    import glob
+
+    import pytest
+
+    from recidiviz_data_spark.tables import artifacts
+
+    base = str(tmp_path / "art")
+
+    def w(tag):
+        def _b(stage):
+            os.makedirs(stage)
+            with open(os.path.join(stage, "f.txt"), "w") as f:
+                f.write(tag)
+        return _b
+
+    artifacts.publish(base, "k0", w("v0"))
+    p0, k0, s0 = artifacts.resolve_full(base)
+    assert s0 == 1 and k0 == "k0"
+    artifacts.publish(base, "k1", w("v1"), expected_seq=s0)  # CAS lands
+    p1, _k1, s1 = artifacts.resolve_full(base)
+    with open(os.path.join(p1, "f.txt")) as f:
+        assert f.read() == "v1"
+    assert s1 == 2
+    with pytest.raises(artifacts.ArtifactConflict):
+        artifacts.publish(base, "k2", w("v2"), expected_seq=s0)  # stale seq
+    p2, _k2, s2 = artifacts.resolve_full(base)
+    assert (p2, s2) == (p1, 2)  # winner untouched
+    # v0 superseded (grace-kept) + v1 current; the conflicted build is GONE
+    assert len(glob.glob(os.path.join(base, "v-*"))) == 2
+    assert not os.path.exists(os.path.join(base, ".ptr.lock"))
+
+
+def test_band_append_retries_after_conflict(spark, tmp_path, monkeypatch):
+    """band_index_append in auto mode survives losing the CAS: it recomputes
+    against the winning version and lands on retry (the injected conflict
+    simulates a concurrent mutation flipping the pointer first). With an
+    EXPLICIT expected_seq (the sync lifecycles) the conflict propagates."""
+    import pytest
+
+    from recidiviz_data_spark.operators.dedup import (
+        band_index_append, band_index_bands, band_index_build)
+    from recidiviz_data_spark.tables import artifacts
+
+    # 24 docs keeps every shingle's df (1) under the hot cap (df > nd/10)
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"a{i} b{i} c{i} d{i}") for i in range(24)],
+        "doc_id string, text string",
+    )
+    idx = str(tmp_path / "bandidx")
+    band_index_build(spark, None, idx, docs=docs, key="test:v0")
+
+    real = artifacts.publish
+    calls = {"conflicts": 0}
+
+    def flaky(base, key, build_fn, **kw):
+        if calls["conflicts"] == 0:
+            calls["conflicts"] += 1
+            raise artifacts.ArtifactConflict("injected: a racer flipped first")
+        return real(base, key, build_fn, **kw)
+
+    monkeypatch.setattr(artifacts, "publish", flaky)
+    new = spark.createDataFrame(
+        [("n1", "x1 x2 x3 x4")], "doc_id string, text string")
+    n = band_index_append(spark, idx, new)
+    assert n > 0 and calls["conflicts"] == 1
+    got = band_index_bands(spark, idx)
+    assert got.filter(F.col("doc_id") == "n1").count() > 0
+
+    # explicit expected_seq (sync mode): a stale seq raises to the caller
+    monkeypatch.setattr(artifacts, "publish", real)
+    stale_seq = artifacts.resolve_full(idx)[2] - 1
+    with pytest.raises(artifacts.ArtifactConflict):
+        band_index_append(
+            spark, idx,
+            spark.createDataFrame([("n2", "y1 y2 y3 y4")],
+                                  "doc_id string, text string"),
+            expected_seq=stale_seq,
+        )
+    assert band_index_bands(spark, idx).filter(F.col("doc_id") == "n2").count() == 0
+
+
+def test_concurrent_index_appends_both_land(spark, tmp_path):
+    """Two UNCOORDINATED writers appending to the same persisted index
+    concurrently both land (the round-5 store documented 'run ONE writer;
+    one append's rows are absent from the winner' — the CAS closes that):
+    each compute takes long enough that the resolve/publish windows overlap,
+    the loser recomputes against the winner, and the merged sizes stay
+    exactly the recount of the merged band rows."""
+    import threading
+
+    from recidiviz_data_spark.operators.dedup import (
+        band_index_append, band_index_bands, band_index_build)
+    from recidiviz_data_spark.operators.similarity import (
+        _ivf_payload, ivf_index_append, ivf_index_build)
+    from recidiviz_data_spark.tables import artifacts
+
+    # ---- band index
+    # 24 docs keeps every shingle's df (1) under the hot cap (df > nd/10)
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"a{i} b{i} c{i} d{i}") for i in range(24)],
+        "doc_id string, text string",
+    )
+    idx = str(tmp_path / "bandidx")
+    band_index_build(spark, None, idx, docs=docs, key="test:v0")
+    errs: list = []
+
+    def _append_band(tag):
+        try:
+            band_index_append(
+                spark, idx,
+                spark.createDataFrame([(f"{tag}", f"{tag}1 {tag}2 {tag}3 {tag}4")],
+                                      "doc_id string, text string"),
+            )
+        except Exception as e:  # surfaced below — a thread must not die silently
+            errs.append(e)
+
+    ts = [threading.Thread(target=_append_band, args=(t,)) for t in ("pa", "pb")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errs == []
+    bands = band_index_bands(spark, idx, band_cap=10**9)
+    got = {r["doc_id"] for r in bands.select("doc_id").distinct().collect()}
+    assert {"pa", "pb"} <= got  # NO lost update
+    payload = artifacts.resolve_full(idx)[0]
+    import os as _os
+    recount = (
+        spark.read.parquet(_os.path.join(payload, "bands"))
+        .groupBy("band", "h_lo", "h_hi").agg(F.count("*").alias("rc"))
+    )
+    sizes = spark.read.parquet(_os.path.join(payload, "sizes"))
+    assert sizes.join(
+        recount, ["band", "h_lo", "h_hi"], "full_outer"
+    ).filter(
+        F.coalesce("n", F.lit(-1)) != F.coalesce("rc", F.lit(-2))
+    ).count() == 0  # merged sizes == exact recount after both appends
+
+    # ---- IVF index
+    vecs = spark.createDataFrame(
+        [(i, f"v{i}", [i + 1, 93 - i], float((i + 1) ** 2 + (93 - i) ** 2))
+         for i in range(40)],
+        "vec_id long, label string, v array<long>, n2 double",
+    )
+    ivf = str(tmp_path / "ivfidx")
+    ivf_index_build(spark, None, ivf, vectors=vecs, key="test:v0")
+
+    def _append_ivf(ids):
+        try:
+            ivf_index_append(
+                spark, ivf,
+                spark.createDataFrame(
+                    [(i, f"v{i}", [i + 1, 93 - i],
+                      float((i + 1) ** 2 + (93 - i) ** 2)) for i in ids],
+                    "vec_id long, label string, v array<long>, n2 double",
+                ),
+            )
+        except Exception as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=_append_ivf, args=(ids,))
+          for ids in ((100, 101), (200, 201))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errs == []
+    vids = {
+        r["vec_id"]
+        for r in spark.read.parquet(_os.path.join(_ivf_payload(ivf), "vectors"))
+        .select("vec_id").collect()
+    }
+    assert {100, 101, 200, 201} <= vids  # NO lost update
