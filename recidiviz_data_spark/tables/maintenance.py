@@ -113,12 +113,19 @@ def compact(
 
 
 def expire_snapshots(
-    table: Miniberg, *, keep_last: int = 5, grace_seconds: float = 3600.0
+    table: Miniberg, *, keep_last: int = 5, grace_seconds: float = 3600.0,
+    older_than_seconds: float | None = None,
 ) -> list[str]:
     """Delete manifests older than the last ``keep_last`` versions, then GC
     data files referenced by NO surviving snapshot. The current version and
     every tag-pinned version are always kept; time travel is limited to the
     survivors.
+
+    ``older_than_seconds`` adds Iceberg's age retention: a version expires
+    only if it is BOTH outside the last ``keep_last`` AND its manifest's
+    ``committed_at`` is older than the cutoff (pre-stamp manifests count as
+    infinitely old) — "keep 7 days of history but never fewer than K
+    snapshots" composes the two knobs.
 
     ``grace_seconds``: unreferenced data files younger than this are kept —
     a concurrent writer stages files into data/ BEFORE its manifest CAS, so
@@ -130,6 +137,16 @@ def expire_snapshots(
     # have left gaps). keep_last=0 must mean "current only" — a bare
     # versions[-0:] slice would return EVERYTHING and expire nothing
     survivors = versions[-keep_last:] if keep_last > 0 else versions[-1:]
+    if older_than_seconds is not None:
+        from recidiviz_data_spark.tables import miniberg as _mb
+
+        # same clock source as the committed_at stamps (late-bound so tests
+        # that fake the commit clock see consistent ages)
+        cutoff = _mb._now() - older_than_seconds
+        survivors = set(survivors) | {
+            v for v in versions
+            if table.manifest(v).get("committed_at", float("-inf")) > cutoff
+        }
     # tag-pinned snapshots survive regardless of age (Iceberg tag semantics):
     # a tag is the retention contract for audits/repro — expiry may never
     # break `read(version=table.ref(name))`

@@ -83,6 +83,7 @@ import os
 import re
 import shutil
 import uuid
+from time import time as _now
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -234,8 +235,32 @@ class Miniberg:
     def snapshots(self) -> list[dict]:
         return [self.manifest(v) for v in self.versions()]
 
+    def history(self) -> list[dict]:
+        """The snapshot log (Iceberg history/snapshots-table analog): one row
+        per surviving manifest, ascending — version, parent, commit wall
+        time, watermark, schema, bucket function, props. O(versions) root
+        reads, never touches sidecars; expired versions are simply absent
+        (their rows live only in backups/time-travel no longer possible)."""
+        out = []
+        for v in self.versions():
+            m = self.manifest(v)
+            out.append({
+                "version": m["version"],
+                "parent": m.get("parent"),
+                "committed_at": m.get("committed_at"),
+                "last_applied_batch": m.get("last_applied_batch"),
+                "schema_id": m.get("schema_id"),
+                "num_buckets": m.get("num_buckets"),
+                "props": m.get("props", {}),
+            })
+        return out
+
     def _write_manifest(self, version: int, manifest: dict) -> None:
-        """Atomic CAS: link a fully-written temp file to the version path."""
+        """Atomic CAS: link a fully-written temp file to the version path.
+        Every manifest gets a ``committed_at`` wall-clock stamp here — the
+        single write chokepoint (create/commit/rollback/branch/publish all
+        pass through), feeding ``history()`` and age-based expiry."""
+        manifest = {**manifest, "committed_at": round(_now(), 3)}
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)

@@ -1234,3 +1234,53 @@ def test_concurrent_index_appends_both_land(spark, tmp_path):
         .select("vec_id").collect()
     }
     assert {100, 101, 200, 201} <= vids  # NO lost update
+
+
+def test_history_and_age_based_expiry(spark, tmp_path, monkeypatch):
+    """Every manifest carries a committed_at wall-clock stamp (stamped at
+    the single _write_manifest chokepoint); history() is the surviving
+    snapshot log; expire_snapshots(older_than_seconds=...) composes
+    Iceberg's age retention with keep_last — a version expires only if it
+    is outside keep_last AND older than the cutoff."""
+    import recidiviz_data_spark.tables.miniberg as mb
+    from recidiviz_data_spark.cdc.apply import apply_batch, bootstrap_table
+    from recidiviz_data_spark.tables.maintenance import expire_snapshots
+
+    clock = {"t": 1_000_000.0}
+    monkeypatch.setattr(mb, "_now", lambda: clock["t"])
+    df = spark.createDataFrame(
+        [(f"doc_{i}", [i], 1) for i in range(6)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    table = bootstrap_table(spark, str(tmp_path / "t_hist"), df, num_buckets=2)
+    ev = "event_seq long, op string, doc_id string, tokens array<int>, n_tok int"
+    for i in range(3):
+        clock["t"] += 1000.0  # commits 1000 s apart
+        apply_batch(
+            spark, table,
+            spark.createDataFrame([(i + 1, "U", "doc_0", [50 + i], 1)], ev),
+            i, compact=False,
+        )
+
+    h = table.history()
+    assert [r["version"] for r in h] == table.versions()
+    assert all(h[i]["parent"] == h[i - 1]["version"] for i in range(1, len(h)))
+    ts = [r["committed_at"] for r in h]
+    assert ts == sorted(ts) and ts[0] == 1_000_000.0 and ts[-1] == 1_003_000.0
+    assert h[-1]["last_applied_batch"] == 2
+
+    # age retention: at t=1_003_600 with a 2000 s window, only commits after
+    # t=1_001_600 are young — v@1_002_000 and v@1_003_000 survive (keep_last=1
+    # alone would keep just the head)
+    clock["t"] = 1_003_600.0
+    expire_snapshots(table, keep_last=1, grace_seconds=0,
+                     older_than_seconds=2000.0)
+    left = table.history()
+    assert [r["committed_at"] for r in left] == [1_002_000.0, 1_003_000.0]
+    # a wide-enough window expires nothing further
+    expire_snapshots(table, keep_last=1, grace_seconds=0,
+                     older_than_seconds=10_000.0)
+    assert len(table.history()) == 2
+    # table still fully readable at the head
+    got = {r["doc_id"]: list(r["tokens"]) for r in table.read(spark).collect()}
+    assert got["doc_0"] == [52] and len(got) == 6
