@@ -292,3 +292,65 @@ def test_write_audit_publish_gate(spark, tmp_path):
     assert _tokens(spark, table)["doc_03"] == [33]
     assert table.manifest()["last_applied_batch"] == 0
     assert table.branches() == []
+
+
+def test_branches_and_wap_on_range_layout(spark, tmp_path, monkeypatch):
+    """The two round-6 features compose: branch fork / apply / publish and
+    the WAP gate all work on a table whose manifests use the third-level
+    bucket-RANGE layout — publish adopts the branch's buckets with
+    untouched RANGES carried verbatim from main's head, and a failed audit
+    leaves main byte-identical."""
+    from recidiviz_data_spark.tables import miniberg
+
+    monkeypatch.setattr(miniberg, "RANGE_LAYOUT_MIN_BUCKETS", 8)
+    table = _mk_table(spark, tmp_path, n=20, num_buckets=16)
+    assert "bucket_ranges" in table.manifest()
+    before = _tokens(spark, table)
+    bmap = _buckets_of(spark, [f"doc_{i:02d}" for i in range(20)], 16)
+
+    br = table.create_branch("stage")
+    assert "bucket_ranges" in br.manifest()
+    ev = spark.createDataFrame(
+        [(1, "U", "doc_00", [99], 1), (2, "I", "doc_90", [90], 1)], EV_SCHEMA
+    )
+    apply_batch(spark, br, ev, 0, compact=False)
+    assert _tokens(spark, table) == before  # isolation under range layout
+
+    # main moves on a bucket the branch never touched
+    b_touched = {bmap["doc_00"]} | set(
+        _buckets_of(spark, ["doc_90"], 16).values()
+    )
+    other_doc = next(d for d, b in bmap.items() if b not in b_touched)
+    assert compact(spark, table, buckets=[bmap[other_doc]],
+                   tombstone_horizon=-1) is not None
+    head = table.manifest()
+
+    v = table.publish_branch("stage")
+    m = table.manifest(v)
+    assert "bucket_ranges" in m
+    got = _tokens(spark, table)
+    assert got["doc_00"] == [99] and got["doc_90"] == [90]
+    assert got[other_doc] == before[other_doc]  # main's compaction kept
+    # ranges untouched by the branch carry main's head paths verbatim
+    size = m["bucket_ranges"]["size"]
+    touched_lo = {str((b // size) * size) for b in b_touched}
+    for lo, rs in head["bucket_ranges"]["ranges"].items():
+        if lo not in touched_lo:
+            assert m["bucket_ranges"]["ranges"][lo]["path"] == rs["path"]
+
+    # WAP gate: a failing audit leaves main byte-identical (range layout)
+    res = write_audit_publish(
+        spark, table,
+        spark.createDataFrame([(3, "U", "doc_01", [7], 1)], EV_SCHEMA),
+        1, audit_fn=lambda df: False,
+    )
+    assert res["published"] is False
+    assert table.current_version() == v
+    assert _tokens(spark, table) == got
+    res2 = write_audit_publish(
+        spark, table,
+        spark.createDataFrame([(3, "U", "doc_01", [7], 1)], EV_SCHEMA),
+        1, audit_fn=lambda df: df.count() > 0,
+    )
+    assert res2["published"] is True
+    assert _tokens(spark, table)["doc_01"] == [7]
