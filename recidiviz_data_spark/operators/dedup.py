@@ -1039,14 +1039,18 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
        member) are re-labeled to min(live member); untouched assignment rows
        carry verbatim. Deletes drop membership rows; a deleted/updated
        keeper hands the label to the next-smallest live member exactly.
+    5. Clusters that LOST a member are re-verified internally: their
+       remaining members' texts are point-read, same-cluster pairs re-pass
+       the exact Jaccard rule, and the mini component pass decides the
+       cluster's post-removal partition — removing a BRIDGE doc splits the
+       survivors exactly as the full reclustering would (O(affected cluster
+       sizes), still blast-radius bounded).
 
-    Honest residue, mirrored from every production dedup pipeline: (a)
+    Honest residue, mirrored from every production dedup pipeline:
     candidates come from MinHash bands, so an incrementally-added pair the
     LSH misses is absent until the next full rebuild (the rebuild uses the
-    exact shingle join); (b) removing a BRIDGE doc from a cluster of >= 3
-    does not split the remaining members (splits need intra-cluster
-    re-verification). Both are bounded by ``rebuild_stale_fraction``: past
-    it the sync re-runs the exact full clustering. Returns {action, version,
+    exact shingle join). Bounded by ``rebuild_stale_fraction``: past it the
+    sync re-runs the exact full clustering. Returns {action, version,
     live_docs, stale_docs, new_edges}."""
     import json
     import os
@@ -1109,11 +1113,29 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
 
     payload, old_key, seq = r0
     cur = spark.read.parquet(os.path.join(payload, "clusters"))
+    cur_s = cur.withColumn("cl_s", F.col("cluster_id").cast("string"))
     new_docs = materialize(
         changes.filter(F.col("op").isin("I", "U")).select("doc_id", "text")
     )
     new_ids = new_docs.select("doc_id")
     removed = changes.filter(F.col("op").isin("U", "D")).select("doc_id")
+
+    # -- SHRUNK clusters (lost a member): connectivity may have broken (a
+    # removed doc can be the bridge), so their remaining members leave the
+    # one-node collapse and get re-verified pairwise below — the exact split
+    # handling. Both lists are blast-radius bounded (affected clusters'
+    # members, never the corpus).
+    removed_cl = (
+        cur_s.join(removed, "doc_id", "left_semi")
+        .select("cl_s").distinct().localCheckpoint()
+    )
+    shrunk_members = (
+        cur_s.join(F.broadcast(removed_cl), "cl_s", "left_semi")
+        .join(removed, "doc_id", "left_anti")
+        .select("doc_id", "cl_s")
+        .localCheckpoint()
+    )
+    member_ids = [r["doc_id"] for r in shrunk_members.select("doc_id").collect()]
 
     # -- candidates: probe the band index with the new docs. No live filter
     # needed here: a deleted partner's candidacy dies at verification —
@@ -1139,11 +1161,13 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
                                         "pp", "left_anti").distinct().collect()
     )  # batch-bounded: candidates of THIS batch only — never corpus-scale
 
-    # -- exact Jaccard verification on the involved docs only (frozen hot cap)
+    # -- exact Jaccard verification on the involved docs only (frozen hot
+    # cap): new docs + their candidate partners + shrunk clusters' members
+    point_ids = sorted(set(partner_ids) | set(member_ids))
     involved = new_docs
-    if partner_ids:
+    if point_ids:
         involved = involved.unionByName(
-            table.read_keys(spark, partner_ids).select("doc_id", "text")
+            table.read_keys(spark, point_ids).select("doc_id", "text")
         )
     hot = spark.read.parquet(
         os.path.join(artifacts.resolve(bp)[0], "hot")
@@ -1172,7 +1196,7 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
     )
     # keep only pairs touching a new doc (two old partners of different new
     # docs may incidentally share shingles — their pair is NOT part of this
-    # batch's blast radius)
+    # batch's blast radius)...
     edges = (
         ver.join(new_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
         .unionByName(
@@ -1182,20 +1206,40 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
         .localCheckpoint()
     )
     n_edges = edges.count()
+    # ...plus SAME-shrunk-cluster member pairs: the re-verified internal
+    # edges that decide whether a cluster that lost a member stays connected
+    # or SPLITS (removing a bridge doc must split the survivors exactly as
+    # the full reclustering would)
+    intra = (
+        ver.join(shrunk_members.withColumnRenamed("doc_id", "d1"), "d1")
+        .join(shrunk_members.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("cl_s", "cl2"), "d2")
+        .filter(F.col("cl_s") == F.col("cl2"))
+        .select("d1", "d2")
+        .localCheckpoint()
+    )
+    n_intra = intra.count()
 
-    # -- mini component pass: an endpoint that is an EXISTING doc collapses
-    # to its cluster id, so a whole existing cluster is ONE node. Nodes are
+    # -- mini component pass: an endpoint that is an EXISTING doc in an
+    # INTACT cluster collapses to its cluster id, so that whole cluster is
+    # ONE node; members of SHRUNK clusters participate as themselves (their
+    # cluster's connectivity is exactly what is being recomputed). Nodes are
     # NAMESPACED ("c:<cluster_id>" vs "d:<doc_id>"): cluster labels ARE doc
     # ids, so an updated doc participating as itself would otherwise collide
     # with the label of the cluster it just left (fusing them spuriously).
     # Removed docs are dropped from the endpoint->cluster map first — an
     # updated doc's old membership must not leak in.
     comp_groups = None
-    if n_edges:
-        assign_live = cur.select(
-            F.col("doc_id").alias("m_doc"),
-            F.concat(F.lit("c:"), F.col("cluster_id").cast("string")).alias("m_cl"),
-        ).join(removed.withColumnRenamed("doc_id", "m_doc"), "m_doc", "left_anti")
+    if n_edges or n_intra:
+        assign_live = (
+            cur.select(
+                F.col("doc_id").alias("m_doc"),
+                F.concat(F.lit("c:"), F.col("cluster_id").cast("string")).alias("m_cl"),
+            )
+            .join(removed.withColumnRenamed("doc_id", "m_doc"), "m_doc", "left_anti")
+            .join(shrunk_members.select(F.col("doc_id").alias("m_doc")),
+                  "m_doc", "left_anti")
+        )
 
         def _as_node(col):
             return F.coalesce(
@@ -1206,39 +1250,51 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
                   .select(_as_node("d1").alias("na"), F.col("d2"))
         mini = e1.join(assign_live.withColumnRenamed("m_doc", "d2"), "d2", "left") \
                  .select("na", _as_node("d2").alias("nb"))
+        mini = mini.unionByName(
+            intra.select(
+                F.concat(F.lit("d:"), F.col("d1").cast("string")).alias("na"),
+                F.concat(F.lit("d:"), F.col("d2").cast("string")).alias("nb"),
+            )
+        )
         comp_groups = connected_components(spark, mini, src="na", dst="nb")
 
     # -- affected clusters: merged ones, plus every cluster losing a member
-    removed_cl = cur.join(removed, "doc_id", "left_semi") \
-        .select(F.col("cluster_id").cast("string").alias("cl_s"))
     if comp_groups is not None:
         merged_cl = comp_groups.filter(F.col("node").startswith("c:")) \
             .select(F.expr("substring(node, 3)").alias("cl_s"))
         affected_cl = removed_cl.unionByName(merged_cl).distinct().localCheckpoint()
     else:
-        affected_cl = removed_cl.distinct().localCheckpoint()
+        affected_cl = removed_cl
 
-    cur_s = cur.withColumn("cl_s", F.col("cluster_id").cast("string"))
     untouched = cur_s.join(F.broadcast(affected_cl), "cl_s", "left_anti") \
                      .join(removed, "doc_id", "left_anti")
 
-    # -- rebuild the affected region: old members (minus removed) grouped by
-    # their cluster's mini-CC label, new docs by theirs (self if edge-less),
-    # then final label = min(doc_id) per group — keeper hand-off is exact
-    old_aff = cur_s.join(F.broadcast(affected_cl), "cl_s", "left_semi") \
-                   .join(removed, "doc_id", "left_anti")
+    # -- rebuild the affected region: intact-cluster members grouped by
+    # their cluster's mini-CC label, shrunk-cluster members and new docs by
+    # their OWN node's label (self if edge-less — a split singleton), then
+    # final label = min(doc_id) per group — keeper hand-off is exact
+    old_aff = (
+        cur_s.join(F.broadcast(affected_cl), "cl_s", "left_semi")
+        .join(removed, "doc_id", "left_anti")
+        .join(shrunk_members.select("doc_id", F.lit(True).alias("_sm")),
+              "doc_id", "left")
+        .withColumn(
+            "node",
+            F.when(F.col("_sm"),
+                   F.concat(F.lit("d:"), F.col("doc_id").cast("string")))
+            .otherwise(F.concat(F.lit("c:"), F.col("cl_s"))),
+        )
+    )
     if comp_groups is not None:
         lbl = comp_groups.select(F.col("node"), F.col("cluster_id").alias("grp"))
-        old_part = old_aff.withColumn("node", F.concat(F.lit("c:"), F.col("cl_s"))) \
-            .join(lbl, "node", "left") \
+        old_part = old_aff.join(lbl, "node", "left") \
             .select("doc_id", F.coalesce("grp", F.col("node")).alias("grp"))
         new_part = new_ids.withColumn(
             "node", F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
         ).join(lbl, "node", "left") \
             .select("doc_id", F.coalesce("grp", F.col("node")).alias("grp"))
     else:
-        old_part = old_aff.select(
-            "doc_id", F.concat(F.lit("c:"), F.col("cl_s")).alias("grp"))
+        old_part = old_aff.select("doc_id", F.col("node").alias("grp"))
         new_part = new_ids.select(
             "doc_id", F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("grp"))
     region = old_part.unionByName(new_part)

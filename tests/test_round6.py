@@ -900,13 +900,31 @@ def test_neardup_clusters_sync_incremental_cc(spark, tmp_path):
 
     assert neardup_clusters_sync(spark, table, cpath, band_path=bpath)["action"] == "noop"
 
-    # stale threshold: one more delete at fraction 0 -> exact full rebuild
-    ev_c = spark.createDataFrame(
-        [(6, "D", "doc_03", None, None, None)],
+    # batch C: delete the BRIDGE doc_42 — the 5-cluster {20,21,22,23,42}
+    # must SPLIT back into {20,21} and {22,23} (survivor texts point-read,
+    # same-cluster pairs re-verified, mini CC re-partitions), exactly as
+    # the full reclustering does
+    ev_bridge = spark.createDataFrame(
+        [(6, "D", "doc_42", None, None, None)],
         "event_seq long, op string, doc_id string, tokens array<int>, "
         "n_tok int, text string",
     )
-    apply_batch(spark, table, ev_c, 2, compact=False)
+    apply_batch(spark, table, ev_bridge, 2, compact=False)
+    r4 = neardup_clusters_sync(spark, table, cpath, band_path=bpath)
+    assert r4["action"] == "append" and r4["live_docs"] == 41
+    v4 = view()
+    assert ("doc_20", "doc_20", True, 2) in v4 and ("doc_21", "doc_20", False, 2) in v4
+    assert ("doc_22", "doc_22", True, 2) in v4 and ("doc_23", "doc_22", False, 2) in v4
+    assert not any(r[0] == "doc_42" for r in v4)
+    assert v4 == full()
+
+    # stale threshold: one more delete at fraction 0 -> exact full rebuild
+    ev_c = spark.createDataFrame(
+        [(7, "D", "doc_03", None, None, None)],
+        "event_seq long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, text string",
+    )
+    apply_batch(spark, table, ev_c, 3, compact=False)
     r5 = neardup_clusters_sync(spark, table, cpath, band_path=bpath,
                                rebuild_stale_fraction=0.0)
     assert r5["action"] == "rebuild" and r5["stale_docs"] == 0
