@@ -72,3 +72,29 @@ def snapshot_diff(
         )
     )
     return out
+
+def table_changes_pruned(
+    spark,
+    table,
+    from_version: int,
+    to_version: int,
+    *,
+    cols: list[str],
+) -> DataFrame:
+    """Column-pruned, BUCKET-pruned change feed between two snapshots of a
+    miniberg table — the diff the index syncs run every advance.
+
+    Buckets whose file sets are identical in both snapshots hold identical
+    rows and so contribute no events; ``changed_buckets`` (pure metadata —
+    sidecar-path comparison, range-level under the third manifest layout)
+    restricts BOTH snapshot reads to the buckets that moved. At lake scale
+    this turns an index sync over a small commit from two full table scans
+    into a few bucket reads. ``cols`` prunes the payload to what the index
+    ingests (text / embedding), so column pruning reaches the parquet scan
+    too. Falls back to full reads when bucket identity is not comparable
+    (``changed_buckets`` returns None: the bucket function changed)."""
+    key = table.manifest(to_version)["key_col"]
+    buckets = table.changed_buckets(from_version, to_version)
+    old = table.read(spark, version=from_version, buckets=buckets).select(key, *cols)
+    new = table.read(spark, version=to_version, buckets=buckets).select(key, *cols)
+    return snapshot_diff(old, new, key=key, payload_cols=list(cols))

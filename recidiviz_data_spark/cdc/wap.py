@@ -36,15 +36,29 @@ def write_audit_publish(
     batch_id: int,
     *,
     audit_fn: Callable[[DataFrame], bool],
+    audit_on: str = "snapshot",
     branch_name: str | None = None,
     keep_failed_branch: bool = False,
     **apply_kw,
 ) -> dict:
     """Apply one CDC batch through the write-audit-publish gate.
 
-    ``audit_fn(staged_df) -> bool`` receives the branch's post-apply
-    snapshot as a DataFrame (tombstones already filtered) and decides the
-    batch's fate. Returns ``{published, version, branch, lineage}``:
+    ``audit_fn(df) -> bool`` decides the batch's fate; what ``df`` is
+    depends on ``audit_on``:
+
+    - ``"snapshot"`` (default): the branch's full post-apply snapshot
+      (tombstones already filtered) — the audit can check any whole-table
+      invariant, at the cost of a table scan per batch.
+    - ``"changes"``: the I/U/D DELTA the batch wrote — ``table_changes``
+      over the branch from its fork version to the staged version, with the
+      read PRUNED to ``changed_buckets`` (buckets whose file sets did not
+      move are never opened). At 100 TB this is the per-batch audit shape:
+      invariants like "delete fraction below X", "no nulls among written
+      keys", "update rate sane" cost O(batch buckets), not O(table). An
+      audit that truly needs the whole staged table opts back into
+      ``"snapshot"``.
+
+    Returns ``{published, version, branch, lineage}``:
     ``published=False`` means the audit failed, main is byte-identical to
     before, and the branch was dropped (or kept for debugging when
     ``keep_failed_branch=True`` — its name is in the result).
@@ -53,15 +67,26 @@ def write_audit_publish(
     manifest CAS adopting the branch's sidecar references verbatim (zero
     data movement — the staged parquet files simply become main's); main
     commits that landed DURING the audit on disjoint buckets merge cleanly
-    via publish_branch's rebase. The audit itself reads only the staged
+    via publish_branch's rebase. Snapshot audits read only the staged
     snapshot — bucket pruning and file skipping apply as on any read."""
     if table.branch is not None:
         raise ValueError("write_audit_publish targets main, not a branch")
+    if audit_on not in ("snapshot", "changes"):
+        raise ValueError(f"audit_on must be 'snapshot' or 'changes': {audit_on!r}")
     name = branch_name or f"wap-{batch_id}-{uuid.uuid4().hex[:8]}"
     b = table.create_branch(name)
+    fork = b.manifest()["fork_version"]
     try:
         lineage = apply_batch(spark, b, events, batch_id, **apply_kw)
-        ok = bool(audit_fn(b.read(spark)))
+        if audit_on == "changes":
+            staged_v = b.current_version()
+            audited = b.table_changes(
+                spark, fork, staged_v,
+                buckets=b.changed_buckets(fork, staged_v),
+            )
+        else:
+            audited = b.read(spark)
+        ok = bool(audit_fn(audited))
     except BaseException:
         table.drop_branch(name)
         raise

@@ -554,7 +554,7 @@ def _band_sync_meta(path: str) -> dict | None:
 
 def band_index_sync(spark, table, path: str | None = None, *,
                     rebuild_stale_fraction: float = 0.25,
-                    changes=None) -> dict:
+                    changes=None, from_version: int | None = None) -> dict:
     """Keep the persisted band index in step with a miniberg CDC table: the
     search-index-ingest loop, driven by the table's own change feed.
 
@@ -577,13 +577,19 @@ def band_index_sync(spark, table, path: str | None = None, *,
 
     At lake scale the version diff is the sync's dominant cost; a deployment
     already holding the CDC events between the two snapshots passes them as
-    ``changes`` (columns op/doc_id/text) and skips the diff entirely. Every
+    ``changes`` (columns op/doc_id/text) WITH ``from_version`` = the snapshot
+    the diff was computed FROM, and skips the diff entirely. The events are
+    applied only if ``from_version`` equals the version recorded in the
+    index's own ``sync.json`` — an index that was synced independently to an
+    intermediate version falls back to its own snapshot diff (applying a
+    wider-span diff would re-append rows the intermediate sync already
+    landed, inflating merged bucket sizes past the band cap). Every
     publication is an atomic artifact-store flip; run ONE sync writer per
     index (the store's standard mutating-lifecycle contract).
 
     Returns {action, version, live_docs, stale_docs, appended_docs,
     appended_rows}."""
-    from recidiviz_data_spark.cdc.differ import snapshot_diff
+    from recidiviz_data_spark.cdc.differ import table_changes_pruned
     from recidiviz_data_spark.tables import artifacts
 
     base = path or table_band_index_path(table)
@@ -615,10 +621,15 @@ def band_index_sync(spark, table, path: str | None = None, *,
         return {"action": "noop", "version": cur_v,
                 "live_docs": meta["live_docs"], "stale_docs": meta["stale_docs"],
                 "appended_docs": 0, "appended_rows": 0}
+    if changes is not None and from_version != meta["version"]:
+        changes = None  # supplied diff spans a different base: use our own
     if changes is None:
-        old = table.read(spark, version=meta["version"]).select("doc_id", "text")
-        new = table.read(spark, version=cur_v).select("doc_id", "text")
-        changes = snapshot_diff(old, new, key="doc_id", payload_cols=["text"])
+        # bucket-pruned: only buckets whose file sets moved between the two
+        # snapshots are read (identical buckets diff to nothing), and the
+        # payload is pruned to the one column the index ingests
+        changes = table_changes_pruned(
+            spark, table, meta["version"], cur_v, cols=["text"]
+        )
     changes = materialize(changes)  # consumed by the counts AND the append
     ops = {
         r["op"]: r["n"]
@@ -994,6 +1005,87 @@ def table_clusters_path(table) -> str:
     return os.path.join(tempfile.gettempdir(), f"rds_clusters_tbl_{uid}")
 
 
+# Largest shrunk cluster whose post-removal connectivity is re-verified
+# INLINE by the sync (point-read members, pairwise Jaccard, mini CC). Above
+# it the split-check is deferred to the periodic exact rebuild: near-dup
+# cluster sizes at web scale are heavy-tailed (boilerplate/template clusters
+# reach 10^5-10^7 docs), and one delete touching such a cluster must not
+# collect its whole membership to the driver.
+SPLIT_VERIFY_CAP = 1024
+
+
+def _consumed_band_stamp(band_path: str) -> dict | None:
+    """Provenance stamp recorded in the cluster table's ``sync.json`` for the
+    band-index version a sync consumed: the artifact dir + seq it probed and
+    the TABLE SNAPSHOT VERSION that band version represents. Compose-time
+    consistency checks compare snapshot versions (``neardup_artifacts_
+    consistent``); dir/seq document exactly which physical version fed the
+    candidates."""
+    import os
+
+    from recidiviz_data_spark.tables import artifacts
+
+    br = artifacts.resolve_full(band_path)
+    if br is None:
+        return None
+    bmeta = artifacts.sync_meta_at(br[0])
+    return {
+        "dir": os.path.basename(br[0]),
+        "seq": br[2],
+        "version": None if bmeta is None else bmeta.get("version"),
+    }
+
+
+def neardup_artifacts_consistent(clusters_path: str, band_path: str) -> bool:
+    """True iff the persisted cluster table and band index represent the SAME
+    source-table snapshot — the cross-artifact consistency predicate. Each
+    artifact has its own CURRENT pointer (no multi-artifact transaction), so
+    one synced independently of the other can be observed ahead; a composed
+    consumer checks this and re-syncs on mismatch (``neardup_composed_read``
+    does both)."""
+    from recidiviz_data_spark.tables import artifacts
+
+    cm = artifacts.sync_meta(clusters_path)
+    bm = artifacts.sync_meta(band_path)
+    if cm is None or bm is None:
+        return False
+    return (
+        cm.get("table_uuid") == bm.get("table_uuid")
+        and cm.get("version") == bm.get("version")
+    )
+
+
+def neardup_composed_read(spark, table, path: str | None = None, *,
+                          band_path: str | None = None,
+                          max_resyncs: int = 3, **sync_kw):
+    """Read the cluster table TOGETHER with the band index as a consistent
+    pair: returns ``(clusters_view_df, band_payload_dir)`` where both
+    artifacts represent the same source snapshot. If their sync records
+    disagree (one was advanced independently), both are re-synced to the
+    table's current version and re-checked — the compose-time half of the
+    cross-artifact stamps. Converges in one pass under the one-sync-writer
+    contract; a writer racing the table itself can force retries, bounded by
+    ``max_resyncs``."""
+    base = path or table_clusters_path(table)
+    bp = band_path or table_band_index_path(table)
+    for _ in range(max_resyncs + 1):
+        if neardup_artifacts_consistent(base, bp):
+            return neardup_clusters_view(spark, base), _band_payload(bp)
+        band_index_sync(spark, table, bp, **sync_kw)
+        neardup_clusters_sync(spark, table, base, band_path=bp, **sync_kw)
+    raise RuntimeError(
+        "could not compose a consistent (cluster table, band index) pair "
+        f"after {max_resyncs} re-syncs — is a writer racing the table?"
+    )
+
+
+def _band_payload(band_path: str) -> str:
+    from recidiviz_data_spark.tables import artifacts
+
+    r = artifacts.resolve(band_path)
+    return r[0] if r is not None else band_path
+
+
 def neardup_clusters_view(spark, path: str):
     """(doc_id, cluster_id, is_keeper, cluster_size) over a synced cluster
     table. The persisted core is the minimal (doc_id, cluster_id) assignment
@@ -1018,7 +1110,8 @@ def neardup_clusters_view(spark, path: str):
 def neardup_clusters_sync(spark, table, path: str | None = None, *,
                           band_path: str | None = None,
                           rebuild_stale_fraction: float = 0.25,
-                          changes=None) -> dict:
+                          changes=None, from_version: int | None = None,
+                          split_verify_cap: int = SPLIT_VERIFY_CAP) -> dict:
     """Keep the near-dup CLUSTER table in step with a miniberg CDC table —
     incremental connected components on top of the synced band index.
 
@@ -1043,19 +1136,28 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
        remaining members' texts are point-read, same-cluster pairs re-pass
        the exact Jaccard rule, and the mini component pass decides the
        cluster's post-removal partition — removing a BRIDGE doc splits the
-       survivors exactly as the full reclustering would (O(affected cluster
-       sizes), still blast-radius bounded).
+       survivors exactly as the full reclustering would. The inline
+       split-check is SIZE-CAPPED (``split_verify_cap``, default
+       SPLIT_VERIFY_CAP): survivor counts are computed distributed, and a
+       cluster above the cap skips it — survivors stay one cluster with an
+       exact distributed keeper hand-off, and its members are counted
+       toward the stale fraction so the deferred split lands at the next
+       exact rebuild. Driver memory is therefore batch-bounded even when a
+       delete touches a 10^7-doc boilerplate cluster.
 
     Honest residue, mirrored from every production dedup pipeline:
     candidates come from MinHash bands, so an incrementally-added pair the
     LSH misses is absent until the next full rebuild (the rebuild uses the
-    exact shingle join). Bounded by ``rebuild_stale_fraction``: past it the
-    sync re-runs the exact full clustering. Returns {action, version,
+    exact shingle join); an over-cap shrunk cluster's split is deferred the
+    same way. Both are bounded by ``rebuild_stale_fraction``: past it the
+    sync re-runs the exact full clustering. ``changes`` (op/doc_id/text,
+    with ``from_version`` = the base snapshot of the diff) skips the version
+    diff exactly as in ``band_index_sync``. Returns {action, version,
     live_docs, stale_docs, new_edges}."""
     import json
     import os
 
-    from recidiviz_data_spark.cdc.differ import snapshot_diff
+    from recidiviz_data_spark.cdc.differ import table_changes_pruned
     from recidiviz_data_spark.tables import artifacts
 
     base = path or table_clusters_path(table)
@@ -1069,7 +1171,8 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
         docs = materialize(table.read(spark).select("doc_id", "text"))
         live = docs.count()
         meta = {"table_uuid": uid, "version": cur_v,
-                "live_docs": live, "stale_docs": 0}
+                "live_docs": live, "stale_docs": 0,
+                "consumed": {"band_index": _consumed_band_stamp(bp)}}
 
         def _build(stage: str) -> None:
             os.makedirs(stage)
@@ -1095,12 +1198,19 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
         return {"action": "noop", "version": cur_v,
                 "live_docs": meta["live_docs"], "stale_docs": meta["stale_docs"],
                 "new_edges": 0}
+    if changes is not None and from_version != meta["version"]:
+        changes = None  # supplied diff spans a different base: use our own
     if changes is None:
-        old = table.read(spark, version=meta["version"]).select("doc_id", "text")
-        new = table.read(spark, version=cur_v).select("doc_id", "text")
-        changes = snapshot_diff(old, new, key="doc_id", payload_cols=["text"])
+        # bucket-pruned + column-pruned: see band_index_sync
+        changes = table_changes_pruned(
+            spark, table, meta["version"], cur_v, cols=["text"]
+        )
+    # candidates first. The diff was computed from THIS sync's recorded
+    # version — band_index_sync applies it only if its own sync.json agrees
+    # (an independently-advanced band index re-diffs for its own span)
     changes = materialize(changes)
-    band_index_sync(spark, table, bp, changes=changes)  # candidates first
+    band_index_sync(spark, table, bp, changes=changes,
+                    from_version=meta["version"])
     ops = {
         r["op"]: r["n"]
         for r in changes.groupBy("op").agg(F.count("*").alias("n")).collect()
@@ -1123,25 +1233,63 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
     # -- SHRUNK clusters (lost a member): connectivity may have broken (a
     # removed doc can be the bridge), so their remaining members leave the
     # one-node collapse and get re-verified pairwise below — the exact split
-    # handling. Both lists are blast-radius bounded (affected clusters'
-    # members, never the corpus).
+    # handling. Driver-side state is bounded by the BATCH, never by cluster
+    # size: the per-cluster survivor COUNT is computed distributed (one row
+    # per shrunk cluster — at most one per removed doc), and only clusters
+    # at or under ``split_verify_cap`` have their members point-read for the
+    # inline split-check. A mega cluster (boilerplate/template dedup
+    # clusters are heavy-tailed at web scale) skips it: its survivors keep
+    # one cluster (keeper hand-off stays exact — min(live member) is a
+    # distributed aggregate), its members count toward the stale fraction,
+    # and a missed split is folded at the periodic exact rebuild — the same
+    # contract as LSH recall misses.
     removed_cl = (
         cur_s.join(removed, "doc_id", "left_semi")
         .select("cl_s").distinct().localCheckpoint()
     )
+    survivor_counts = {
+        r["cl_s"]: r["n"]
+        for r in cur_s.join(F.broadcast(removed_cl), "cl_s", "left_semi")
+        .join(removed, "doc_id", "left_anti")
+        .groupBy("cl_s").agg(F.count("*").alias("n")).collect()
+    }
+    big_cl = {c for c, n in survivor_counts.items() if n > split_verify_cap}
+    skipped_split_members = sum(survivor_counts[c] for c in big_cl)
+    if skipped_split_members:
+        # deferred split-checks are inexactness debt: count those members as
+        # stale so repeated hits on mega clusters drive the exact rebuild
+        stale += skipped_split_members
+        if stale > rebuild_stale_fraction * max(live, 1):
+            return _rebuild()
+    small_cl = removed_cl
+    if big_cl:
+        small_cl = removed_cl.join(
+            spark.createDataFrame([(c,) for c in sorted(big_cl)], "cl_s string"),
+            "cl_s", "left_anti",
+        ).localCheckpoint()
     shrunk_members = (
-        cur_s.join(F.broadcast(removed_cl), "cl_s", "left_semi")
+        cur_s.join(F.broadcast(small_cl), "cl_s", "left_semi")
         .join(removed, "doc_id", "left_anti")
         .select("doc_id", "cl_s")
         .localCheckpoint()
     )
     member_ids = [r["doc_id"] for r in shrunk_members.select("doc_id").collect()]
 
-    # -- candidates: probe the band index with the new docs. No live filter
-    # needed here: a deleted partner's candidacy dies at verification —
-    # read_keys returns no text for a tombstoned doc, so it contributes no
-    # shingles and no edge (cheaper than semi-joining the corpus key set)
-    bands = band_index_bands(spark, bp)
+    # -- candidates: probe the band index with the new docs. The band
+    # artifact is resolved ONCE — the version we probe is the version the
+    # sync.json stamp records (two resolves could straddle a concurrent band
+    # publish and stamp a version we never read). No live filter needed
+    # here: a deleted partner's candidacy dies at verification — read_keys
+    # returns no text for a tombstoned doc, so it contributes no shingles
+    # and no edge (cheaper than semi-joining the corpus key set)
+    br = artifacts.resolve_full(bp)
+    band_payload = br[0] if br is not None else bp
+    bmeta = artifacts.sync_meta_at(band_payload)
+    band_stamp = None if br is None else {
+        "dir": os.path.basename(br[0]), "seq": br[2],
+        "version": None if bmeta is None else bmeta.get("version"),
+    }
+    bands = band_index_bands(spark, band_payload)
     probe = bands.join(new_ids, "doc_id", "left_semi").alias("p")
     cand = (
         bands.alias("c")
@@ -1169,9 +1317,7 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
         involved = involved.unionByName(
             table.read_keys(spark, point_ids).select("doc_id", "text")
         )
-    hot = spark.read.parquet(
-        os.path.join(artifacts.resolve(bp)[0], "hot")
-    )
+    hot = spark.read.parquet(os.path.join(band_payload, "hot"))
     sh = materialize(
         _shingles(spark, None, docs=involved).join(
             F.broadcast(hot), "shingle", "left_anti"
@@ -1303,7 +1449,8 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
 
     out = untouched.select("doc_id", "cluster_id").unionByName(rebuilt)
     new_meta = {"table_uuid": uid, "version": cur_v,
-                "live_docs": live, "stale_docs": stale}
+                "live_docs": live, "stale_docs": stale,
+                "consumed": {"band_index": band_stamp}}
 
     def _build(stage: str) -> None:
         os.makedirs(stage)
@@ -1320,6 +1467,7 @@ def neardup_clusters_sync(spark, table, path: str | None = None, *,
         return neardup_clusters_sync(
             spark, table, path, band_path=band_path,
             rebuild_stale_fraction=rebuild_stale_fraction,
+            split_verify_cap=split_verify_cap,
         )
     return {"action": "append", "version": cur_v, "live_docs": live,
             "stale_docs": stale, "new_edges": n_edges}

@@ -565,6 +565,23 @@ def ivf_index_build(spark, sf_dir, path: str | None = None, *,
     return base
 
 
+def _refuse_sync_managed(payload: str, op: str) -> None:
+    """Raw append/refresh lifecycles know nothing about generation stamps or
+    dead lists — running them on a CDC-sync-managed payload would corrupt the
+    bookkeeping (gen-less rows hidden by the dead filter, stale sync.json,
+    resurrected deletes). Such indexes mutate through ``ivf_index_sync``
+    only (its stale-fraction rebuild is the re-train path)."""
+    import os
+
+    if os.path.exists(os.path.join(payload, "sync.json")) or os.path.isdir(
+        os.path.join(payload, "dead")
+    ):
+        raise ValueError(
+            f"{op} on a CDC-sync-managed IVF index: use ivf_index_sync "
+            "(raw appends lack gen stamps and would carry stale sync.json)"
+        )
+
+
 def ivf_index_append(spark, path: str, new_vectors) -> int:
     """Incremental ingest into the MATERIALIZED index: assign new vectors
     (``vec_id, label, v, n2``) to the EXISTING persisted centroids (no
@@ -576,7 +593,15 @@ def ivf_index_append(spark, path: str, new_vectors) -> int:
     CONCURRENT append/refresh loses the flip, recomputes against the
     winner's version, and lands too (no lost update). At lake scale the
     batch is small, the centroid table broadcasts, and only the touched
-    cell directories gain files. Returns the number of vectors appended."""
+    cell directories gain files. Returns the number of vectors appended.
+
+    Refuses a CDC-SYNC-managed index (payload carrying ``sync.json`` or a
+    ``dead/`` list): rows appended here carry no ``gen`` column, so the
+    search-time dead-list filter (``coalesce(gen, 0) < dead_gen``) would make
+    them invisible for any doc with a tombstone entry, and a hardlink-carried
+    ``sync.json`` would make the next ``ivf_index_sync`` re-diff from a stale
+    version and double-append — ingest into a synced index goes through
+    ``ivf_index_sync(changes=...)`` instead."""
     import os
 
     from recidiviz_data_spark.tables import artifacts
@@ -584,6 +609,7 @@ def ivf_index_append(spark, path: str, new_vectors) -> int:
     while True:
         r = artifacts.resolve_full(path)
         payload, old_key, seq = (r if r is not None else (path, "raw", None))
+        _refuse_sync_managed(payload, "ivf_index_append")
         cents = spark.read.parquet(os.path.join(payload, "centroids"))
         assigned = new_vectors.select("vec_id", "label", "v", "n2").join(
             _nearest_cent(new_vectors, cents).select("vec_id", "cent_id"), "vec_id"
@@ -591,7 +617,14 @@ def ivf_index_append(spark, path: str, new_vectors) -> int:
         n = assigned.count()
 
         def _build(stage: str) -> None:
-            artifacts.link_tree(payload, stage)
+            # link the data subtrees ONLY (mirror band_index_append): a
+            # whole-payload link_tree would carry the previous version's
+            # sync.json/dead/ bookkeeping into a version it does not describe
+            os.makedirs(stage)
+            artifacts.link_tree(os.path.join(payload, "vectors"),
+                                os.path.join(stage, "vectors"))
+            artifacts.link_tree(os.path.join(payload, "centroids"),
+                                os.path.join(stage, "centroids"))
             assigned.write.mode("append").partitionBy("cell").parquet(
                 os.path.join(stage, "vectors")
             )
@@ -612,7 +645,9 @@ def ivf_index_refresh(spark, path: str) -> str:
     the new one, NEVER new centroids against old cells (the round-5 verdict
     `weak`, closed by the artifact store). CAS publish: a refresh racing an
     append recomputes over the append's rows instead of silently dropping
-    them."""
+    them. Refuses a CDC-sync-managed index (see ``_refuse_sync_managed`` —
+    a raw refresh would resurrect dead-listed rows and drop the sync
+    bookkeeping; the sync's stale-fraction rebuild is its re-train path)."""
     import os
 
     from recidiviz_data_spark.tables import artifacts
@@ -620,6 +655,7 @@ def ivf_index_refresh(spark, path: str) -> str:
     while True:
         r = artifacts.resolve_full(path)
         payload, old_key, seq = (r if r is not None else (path, "raw", None))
+        _refuse_sync_managed(payload, "ivf_index_refresh")
         vecs = spark.read.parquet(os.path.join(payload, "vectors")).select(
             "vec_id", "label", "v", "n2", F.col("cell").alias("cent_id")
         )
@@ -671,7 +707,8 @@ def table_vectors(df):
 
 def ivf_index_sync(spark, table, path: str | None = None, *,
                    rebuild_stale_fraction: float = 0.25,
-                   lloyd_iters: int = 1, changes=None) -> dict:
+                   lloyd_iters: int = 1, changes=None,
+                   from_version: int | None = None) -> dict:
     """Keep the materialized IVF index in step with a miniberg CDC table —
     the vector-search mirror of ``band_index_sync``, plus the one thing a
     top-k index needs that a candidate index does not: DELETES MUST AFFECT
@@ -692,12 +729,16 @@ def ivf_index_sync(spark, table, path: str | None = None, *,
     run ONE sync writer per index.
 
     ``changes`` (op/doc_id/embedding) skips the version diff when the caller
-    already holds the CDC events. Returns {action, version, live_docs,
+    already holds the CDC events; it must come with ``from_version`` = the
+    snapshot the events advance FROM, and is applied only if that equals the
+    version in the index's own ``sync.json`` (else the sync falls back to
+    its own diff — a wider-span event set would re-append rows an
+    intermediate sync already landed). Returns {action, version, live_docs,
     stale_docs, appended_docs}."""
     import json
     import os
 
-    from recidiviz_data_spark.cdc.differ import snapshot_diff
+    from recidiviz_data_spark.cdc.differ import table_changes_pruned
     from recidiviz_data_spark.tables import artifacts
 
     base = path or table_ivf_index_path(table)
@@ -745,10 +786,15 @@ def ivf_index_sync(spark, table, path: str | None = None, *,
         return {"action": "noop", "version": cur_v,
                 "live_docs": meta["live_docs"], "stale_docs": meta["stale_docs"],
                 "appended_docs": 0}
+    if changes is not None and from_version != meta["version"]:
+        changes = None  # supplied diff spans a different base: use our own
     if changes is None:
-        old = table.read(spark, version=meta["version"]).select("doc_id", "embedding")
-        new = table.read(spark, version=cur_v).select("doc_id", "embedding")
-        changes = snapshot_diff(old, new, key="doc_id", payload_cols=["embedding"])
+        # bucket-pruned + column-pruned diff (see table_changes_pruned):
+        # only buckets whose file sets moved are read, only the embedding
+        # column is carried
+        changes = table_changes_pruned(
+            spark, table, meta["version"], cur_v, cols=["embedding"]
+        )
     changes = materialize(changes)  # consumed by the counts, append, and dead
     ops = {
         r["op"]: r["n"]

@@ -39,6 +39,22 @@ across a Spark job — and is taken over by age if a holder crashes.
 Readers need no coordination. Superseded versions are garbage-collected
 after a grace window that restarts at the moment a version is superseded,
 long enough for in-flight readers.
+
+GC contract for readers: a superseded version survives at least
+``DEFAULT_GRACE_SECS`` (600 s) past the flip that superseded it. A reader
+that may hold a version LONGER than that — a long Spark job scanning a big
+index, a driver keeping a lazy DataFrame over the payload — must either
+(a) pass a larger ``grace_seconds`` to the mutating call sites
+(``publish`` and every sync/append lifecycle plumb it through), or
+(b) PIN the version: ``with pinned(base) as payload: ...`` resolves the
+current version and drops a TTL'd reader-pin file that every
+``gc_versions`` pass respects regardless of grace (``pin_version`` /
+``unpin`` are the manual form; both index read paths accept a payload dir
+in place of the artifact base, so a pinned reader passes the pinned
+payload straight to ``ivf_index_search`` / ``band_index_bands``).
+Resolve-then-pin is safe because GC only removes versions superseded
+longer than the grace window ago — a just-resolved payload is either
+current or freshly superseded, both inside the window.
 """
 
 from __future__ import annotations
@@ -52,6 +68,8 @@ import uuid
 
 CURRENT = "CURRENT"
 DEFAULT_GRACE_SECS = 600.0
+DEFAULT_PIN_TTL_SECS = 3600.0
+_PIN_DIR = ".pins"
 _FLIP_LOCK_STALE_SECS = 10.0  # the lock spans one pointer flip, never a job
 
 
@@ -91,27 +109,50 @@ def _read_ptr(base: str) -> dict | None:
 
 
 def _flip(base: str, vname: str, key: str, expected_seq: int | None) -> None:
-    """Serialize the pointer flip under a short O_EXCL lock and enforce the
-    CAS: with ``expected_seq`` set, the flip lands only if no other flip
+    """Serialize the pointer flip under a short owner-token lock and enforce
+    the CAS: with ``expected_seq`` set, the flip lands only if no other flip
     happened since that seq was read (else ``ArtifactConflict``). The lock
     never spans a build — acquire-to-release is a read + a rename — so a
-    stale lock (crashed holder) is taken over by age."""
+    stale lock (crashed holder) is taken over by age.
+
+    Takeover is RENAME-based, not unlink-based: two waiters that both stat
+    the same lock as stale race the rename, and exactly one wins (the loser
+    gets ENOENT) — an unlink here was the classic TOCTOU, where the slower
+    unlink could delete a FRESH holder's just-created lock and admit two
+    mutators into the seq-CAS section at once. The residual race (a waiter
+    stats OUR fresh lock as stale because the previous holder released just
+    before we acquired, then renames OUR lock away) is closed by the owner
+    token: after creating the lock we re-read it and proceed only if it
+    still carries our token; if a stealer took it, we retry."""
     lock = os.path.join(base, ".ptr.lock")
+    token = uuid.uuid4().hex
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
+            try:
+                with open(lock) as f:
+                    mine = f.read() == token
+            except OSError:
+                mine = False  # stolen between the write and the re-read
+            if mine:
+                break
+            continue  # a stealer renamed our lock away: start over
         except FileExistsError:
             try:
                 stale = time.time() - os.path.getmtime(lock) > _FLIP_LOCK_STALE_SECS
             except OSError:
                 continue  # holder released between the open and the stat
             if stale:
+                steal = f"{lock}.steal-{uuid.uuid4().hex[:8]}"
                 try:
-                    os.unlink(lock)  # crashed holder: take the lock over
+                    os.rename(lock, steal)  # atomic: exactly one stealer wins
+                    os.unlink(steal)
                 except FileNotFoundError:
-                    pass
+                    pass  # another stealer won, or the holder released
                 continue
             time.sleep(0.005)
     try:
@@ -129,12 +170,15 @@ def _flip(base: str, vname: str, key: str, expected_seq: int | None) -> None:
         os.rename(tmp, os.path.join(base, CURRENT))  # THE atomic flip
     finally:
         try:
-            os.unlink(lock)
-        except FileNotFoundError:
+            with open(lock) as f:
+                if f.read() == token:  # never release a lock we no longer own
+                    os.unlink(lock)
+        except OSError:
             pass  # a takeover stole the lock mid-flip (holder looked stale)
 
 
-def publish(base: str, key: str, build_fn, *, expected_seq: int | None = None) -> str:
+def publish(base: str, key: str, build_fn, *, expected_seq: int | None = None,
+            grace_seconds: float = DEFAULT_GRACE_SECS) -> str:
     """Build a new version and atomically flip CURRENT to it. ``build_fn``
     receives a staging path that does NOT yet exist (Spark's parquet writer
     creates it; multi-part builders mkdir it themselves) and must leave the
@@ -144,7 +188,12 @@ def publish(base: str, key: str, build_fn, *, expected_seq: int | None = None) -
     compare-and-swap: if another publication flipped the pointer since that
     seq was read, the built version is discarded and ``ArtifactConflict``
     raises — the mutating-lifecycle contract (the caller recomputes against
-    the new current version and retries)."""
+    the new current version and retries).
+
+    ``grace_seconds`` is forwarded to the piggybacked ``gc_versions`` pass —
+    a deployment whose readers hold superseded versions longer than the
+    default raises it at the mutating call sites (reader pins are the
+    per-reader alternative; see the module docstring)."""
     os.makedirs(base, exist_ok=True)
     stage = os.path.join(base, f"stage-{os.getpid()}-{uuid.uuid4().hex[:8]}")
     prev = resolve(base)
@@ -169,7 +218,7 @@ def publish(base: str, key: str, build_fn, *, expected_seq: int | None = None) -
             os.utime(prev[0])
         except OSError:
             pass  # already GC'd by a racer — nothing to protect
-    gc_versions(base)
+    gc_versions(base, grace_seconds=grace_seconds)
     return os.path.join(base, vname)
 
 
@@ -189,18 +238,88 @@ def ensure(base: str, key: str, build_fn) -> str:
     return r[0]
 
 
+def pin_version(base: str, payload: str, *,
+                ttl_seconds: float = DEFAULT_PIN_TTL_SECS) -> str:
+    """Reader pin: keep ``payload`` (a ``v-*`` dir under ``base``) alive past
+    the GC grace window for up to ``ttl_seconds`` — the lease a long-running
+    reader takes so a refresh landing mid-job cannot delete the version it is
+    scanning. Returns the pin path for ``unpin``; an expired pin is swept by
+    the next GC pass, so a crashed reader never pins forever."""
+    d = os.path.join(base, _PIN_DIR)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{os.path.basename(payload)}.pin-{uuid.uuid4().hex[:8]}")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"expires_at": time.time() + ttl_seconds}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, p)
+    return p
+
+
+def unpin(pin_path: str) -> None:
+    try:
+        os.unlink(pin_path)
+    except FileNotFoundError:
+        pass  # expired and swept by a GC pass
+
+
+def _live_pins(base: str, now: float) -> set[str]:
+    """Version dir names under ``base`` with an unexpired reader pin;
+    expired pin files are swept here (the only place that reads them)."""
+    out: set[str] = set()
+    for p in glob.glob(os.path.join(base, _PIN_DIR, "*.pin-*")):
+        try:
+            with open(p) as f:
+                expires = json.load(f)["expires_at"]
+        except (OSError, ValueError, KeyError):
+            continue  # racing unpin / torn write (tmp+rename makes this rare)
+        if expires > now:
+            out.add(os.path.basename(p).split(".pin-")[0])
+        else:
+            unpin(p)
+    return out
+
+
+class pinned:
+    """``with pinned(base) as payload:`` — resolve the current version and
+    hold a reader pin on it for the block (see the module docstring's GC
+    contract). Raises FileNotFoundError if nothing is published."""
+
+    def __init__(self, base: str, *, ttl_seconds: float = DEFAULT_PIN_TTL_SECS):
+        self.base = base
+        self.ttl_seconds = ttl_seconds
+        self._pin: str | None = None
+
+    def __enter__(self) -> str:
+        r = resolve(self.base)
+        if r is None:
+            raise FileNotFoundError(f"no artifact published under {self.base}")
+        self._pin = pin_version(self.base, r[0], ttl_seconds=self.ttl_seconds)
+        return r[0]
+
+    def __exit__(self, *exc) -> None:
+        if self._pin is not None:
+            unpin(self._pin)
+
+
 def gc_versions(base: str, *, grace_seconds: float = DEFAULT_GRACE_SECS) -> list[str]:
     """Remove superseded ``v-*`` version dirs and dead ``stage-*`` dirs older
     than the grace window (in-flight readers of a superseded version finish
-    within it). The current version is always kept."""
+    within it). The current version and versions under a live reader pin
+    are always kept."""
     r = resolve(base)
     keep = os.path.basename(r[0]) if r else None
     removed: list[str] = []
     now = time.time()
+    pinned_dirs = _live_pins(base, now)
     for d in glob.glob(os.path.join(base, "v-*")) + glob.glob(
         os.path.join(base, "stage-*")
     ):
-        if keep is not None and os.path.basename(d) == keep:
+        name = os.path.basename(d)
+        if keep is not None and name == keep:
+            continue
+        if name in pinned_dirs:
             continue
         try:
             if now - os.path.getmtime(d) < grace_seconds:

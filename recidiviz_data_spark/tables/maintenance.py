@@ -130,8 +130,21 @@ def expire_snapshots(
     ``grace_seconds``: unreferenced data files younger than this are kept —
     a concurrent writer stages files into data/ BEFORE its manifest CAS, so
     deleting fresh unreferenced files could strand a commit that is about to
-    succeed. Pass 0 only when no writer can be in flight."""
+    succeed. Pass 0 only when no writer can be in flight.
+
+    Runs from the MAIN handle only (same rule as ``gc_orphans``): a branch
+    handle's chain does not pin main's or sibling branches' files in the
+    shared data/ and fm/ dirs, so expiring from it would delete live data.
+    Branch manifest chains are bounded by the branch lifecycle itself —
+    publish or drop — not by snapshot expiry."""
     import time as _time
+
+    if table.branch is not None:
+        raise ValueError(
+            "expire_snapshots must run from the main handle: a branch's "
+            "chain does not pin main's or sibling branches' files in the "
+            "shared data/ and meta/fm/ dirs"
+        )
 
     versions = table.versions()  # only EXISTING manifests (prior expiry may
     # have left gaps). keep_last=0 must mean "current only" — a bare

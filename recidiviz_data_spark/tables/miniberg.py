@@ -100,6 +100,11 @@ INTERNAL_COLS = ("_seq", "_deleted")
 # summaries in bucket-RANGE manifests instead of inline in v{N}.json (see the
 # module docstring; tests monkeypatch this to exercise the layout cheaply)
 RANGE_LAYOUT_MIN_BUCKETS = 10_000
+
+# read_keys: largest key list rendered as an `isin` literal (parquet In
+# pushdown); bigger lists switch to a broadcast semi-join (a 10^5-literal In
+# bloats the plan/task binaries faster than it helps the scan)
+READ_KEYS_ISIN_MAX = 1_000
 _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 
 # type-widening lattice (Iceberg's promotion rules subset)
@@ -146,11 +151,16 @@ class Miniberg:
         """``branch`` opens the table AT A BRANCH: an isolated manifest chain
         under ``meta/branches/<name>/`` that shares the table's immutable
         data files and content-addressed sidecars (``meta/fm/``) with main.
-        Every operation on a branch handle — read, time travel, commit with
-        CAS + rebase, compact, apply — works unchanged, scoped to the
+        Every DATA operation on a branch handle — read, time travel, commit
+        with CAS + rebase, compact, apply — works unchanged, scoped to the
         branch's chain; main never observes branch commits until
         ``publish_branch``. Lineage rows written on a branch live under the
-        branch too (they merge into main's at publish)."""
+        branch too (they merge into main's at publish). The exceptions are
+        the shared-storage maintenance ops — ``gc_orphans`` and
+        ``expire_snapshots`` — which must run from the MAIN handle (they
+        raise on a branch handle: a branch's chain alone does not pin
+        main's or sibling branches' files in the shared data/ and fm/
+        dirs, so collecting from it would delete live data)."""
         self.root = root
         self.branch = branch
         base_meta = os.path.join(root, "meta")
@@ -646,19 +656,27 @@ class Miniberg:
         Files without recorded stats are conservatively kept. A key whose
         Python type does not match the recorded stat type (str key on an int
         key column or vice versa) raises a clear error instead of a
-        TypeError mid-comparison."""
+        TypeError mid-comparison. Keys are sorted once and each file's range
+        is tested by bisection — O(F log K), so a mega-batch key list does
+        not turn metadata pruning into an F×K scan."""
+        import bisect
+
+        if keys and any(isinstance(k, str) != isinstance(keys[0], str) for k in keys):
+            raise ValueError("read_keys requires keys of one type (str or numeric)")
+        skeys = sorted(keys)
+
         def may_contain(f: dict) -> bool:
             if "key_min" not in f:
                 return True
             kmin = f["key_min"]
-            for k in keys:
-                if isinstance(k, str) != isinstance(kmin, str):
-                    raise ValueError(
-                        f"key {k!r} ({type(k).__name__}) does not match the "
-                        f"key column's recorded stats type "
-                        f"({type(kmin).__name__})"
-                    )
-            return any(kmin <= k <= f["key_max"] for k in keys)
+            if skeys and isinstance(skeys[0], str) != isinstance(kmin, str):
+                raise ValueError(
+                    f"key {skeys[0]!r} ({type(skeys[0]).__name__}) does not "
+                    f"match the key column's recorded stats type "
+                    f"({type(kmin).__name__})"
+                )
+            i = bisect.bisect_left(skeys, kmin)  # first key >= key_min
+            return i < len(skeys) and skeys[i] <= f["key_max"]
 
         return [f for f in files if may_contain(f)]
 
@@ -676,7 +694,14 @@ class Miniberg:
         drop files whose key-range stats exclude every key, then filter
         exactly. At lake scale a point lookup touches one bucket's sidecar
         and, on a batch-appended table, only the files whose key range
-        covers the key — not the bucket's whole history."""
+        covers the key — not the bucket's whole history.
+
+        The exact filter adapts to the list size: up to
+        ``READ_KEYS_ISIN_MAX`` keys it is an ``isin`` literal (pushed into
+        the parquet scan as an In filter); past it, a broadcast LEFT SEMI
+        join against the key DataFrame — an isin with 10^5+ literals bloats
+        the plan and the task binary, while the semi-join ships one hashed
+        build side (file skipping has already pruned the scan either way)."""
         if not keys:
             raise ValueError("read_keys requires at least one key")
         m = self.manifest(version)
@@ -699,7 +724,10 @@ class Miniberg:
             # delta-bucket conservatism in files_for_stats still applies)
             files = self.files_for_stats(files, stats_filter)
         out = self._read_files(spark, m, files, include_internal=True)
-        out = out.filter(F.col(key_col).isin(keys))
+        if len(keys) <= READ_KEYS_ISIN_MAX:
+            out = out.filter(F.col(key_col).isin(keys))
+        else:
+            out = out.join(F.broadcast(kdf.distinct()), key_col, "left_semi")
         if stats_filter:
             out = _residual_filter(out, stats_filter)
         return out if include_internal else self._public_view(m, out)
@@ -1184,11 +1212,15 @@ class Miniberg:
         d = os.path.join(self.root, "meta", "branches", name)
         shutil.rmtree(d, ignore_errors=True)
 
-    def _layout_from_summaries(self, new: dict, summaries: dict[str, dict]) -> None:
+    def _layout_from_summaries(self, new: dict, summaries: dict[str, dict],
+                               record: dict[str, str] | None = None) -> None:
         """Install a full {bucket_str: summary-with-path} map into manifest
         ``new`` under whatever layout its num_buckets calls for. Range
         manifests are content-addressed, so regrouping rewrites nothing for
-        ranges whose contents did not change."""
+        ranges whose contents did not change. ``record`` collects
+        {rel_path: payload} for every blob written, so the caller can re-check
+        them after its manifest CAS (the blob-reuse/GC race _commit_once
+        closes the same way)."""
         nb = new["num_buckets"]
         if nb > RANGE_LAYOUT_MIN_BUCKETS:
             size = self._range_size(nb)
@@ -1197,7 +1229,10 @@ class Miniberg:
                 grouped.setdefault(self._range_lo(int(bk), size), {})[bk] = s
             ranges: dict[str, dict] = {}
             for lo, rmap in sorted(grouped.items(), key=lambda kv: int(kv[0])):
-                rel = self._write_blob(json.dumps(rmap, sort_keys=True))
+                payload = json.dumps(rmap, sort_keys=True)
+                rel = self._write_blob(payload)
+                if record is not None:
+                    record[rel] = payload
                 ranges[lo] = {
                     "path": rel,
                     "n_buckets": len(rmap),
@@ -1305,12 +1340,21 @@ class Miniberg:
             }
             new.pop("branch", None)
             new.pop("fork_version", None)
-            self._layout_from_summaries(new, merged)
+            written_blobs: dict[str, str] = {}
+            self._layout_from_summaries(new, merged, record=written_blobs)
             new.pop("files", None)
             try:
                 self._write_manifest(new["version"], new)
             except CommitConflict:
                 continue  # main moved: re-read the head and re-merge
+            # close the blob-reuse/GC race exactly as _commit_once does: a
+            # REUSED (previously orphaned) range-manifest blob could have
+            # been unlinked by a concurrent gc_orphans between _write_blob's
+            # mtime refresh and the manifest CAS — recreate from the
+            # in-memory payloads now that the manifest is durable
+            for rel, payload in written_blobs.items():
+                if not os.path.exists(os.path.join(self.root, rel)):
+                    self._write_blob(payload)
             for p in glob.glob(os.path.join(b.lineage_dir, "batch-*.json")):
                 dst = os.path.join(self.lineage_dir, os.path.basename(p))
                 if not os.path.exists(dst):
@@ -1322,14 +1366,59 @@ class Miniberg:
             f"could not publish branch {name!r} after {rebase_retries} rebases"
         )
 
+    def changed_buckets(self, from_version: int, to_version: int) -> list[int] | None:
+        """Buckets whose FILE SETS differ between two snapshots — pure
+        metadata (sidecar-path comparison, no data read). Under the
+        third-level range layout only ranges whose content hash differs are
+        loaded, so the diff is O(ranges + changed buckets). Returns None when
+        bucket identity is not comparable (the bucket function changed
+        between the versions) — i.e. "treat every bucket as changed".
+
+        This is the prune ``table_changes`` feeds on: rows in a bucket whose
+        file set is identical in both snapshots cannot differ, so a CDF read
+        over a small commit (a WAP audit delta, an index sync) reads only the
+        touched buckets instead of two full snapshots."""
+        fm_ = self.manifest(from_version)
+        tm_ = self.manifest(to_version)
+        if fm_["num_buckets"] != tm_["num_buckets"]:
+            return None  # bucket function changed: no stable bucket identity
+        if (
+            "bucket_ranges" in fm_
+            and "bucket_ranges" in tm_
+            and fm_["bucket_ranges"]["size"] == tm_["bucket_ranges"]["size"]
+        ):
+            fr = fm_["bucket_ranges"]["ranges"]
+            tr = tm_["bucket_ranges"]["ranges"]
+            a: dict[str, dict] = {}
+            b: dict[str, dict] = {}
+            for lo in set(fr) | set(tr):
+                if fr.get(lo, {}).get("path") != tr.get(lo, {}).get("path"):
+                    if lo in fr:
+                        a.update(self._load_range(fr[lo]["path"]))
+                    if lo in tr:
+                        b.update(self._load_range(tr[lo]["path"]))
+        else:
+            a = self._bucket_map(fm_)
+            b = self._bucket_map(tm_)
+        return sorted(
+            int(bk) for bk in set(a) | set(b)
+            if a.get(bk, {}).get("path") != b.get(bk, {}).get("path")
+        )
+
     def table_changes(
         self, spark: SparkSession, from_version: int, to_version: int,
-        *, snapshot_seq: int | None = None,
+        *, snapshot_seq: int | None = None, buckets: list[int] | None = None,
     ) -> DataFrame:
         """Change-data-feed read: the I/U/D events that turn snapshot
         ``from_version`` into ``to_version`` (Delta's table_changes /
         Iceberg's changelog scan, re-expressed through the snapshot differ —
-        ``differ ∘ apply = identity`` is the tested contract)."""
+        ``differ ∘ apply = identity`` is the tested contract).
+
+        ``buckets`` restricts BOTH snapshot reads — pass
+        ``changed_buckets(from_version, to_version)`` to scan only buckets
+        whose file sets moved (identical buckets yield no events by
+        definition); at lake scale that turns the delta of a small commit
+        from two table scans into a few bucket reads."""
         from recidiviz_data_spark.cdc.differ import snapshot_diff
 
         # the old snapshot is read under ITS schema, then aligned to
@@ -1338,8 +1427,10 @@ class Miniberg:
         # the old side lacking the added column
         new_m = self.manifest(to_version)
         new_user = self._schema_struct(new_m, new_m["schema_id"], include_internal=False)
-        old = align_to_schema(self.read(spark, version=from_version), new_user)
-        new = self.read(spark, version=to_version)
+        old = align_to_schema(
+            self.read(spark, version=from_version, buckets=buckets), new_user
+        )
+        new = self.read(spark, version=to_version, buckets=buckets)
         key = new_m["key_col"]
         payload = [c for c in new.columns if c != key]
         return snapshot_diff(
@@ -1367,9 +1458,20 @@ class Miniberg:
         a concurrent writer moves staged files into data/ (collect_staged_
         files) BEFORE its manifest CAS, so a just-written unreferenced file
         may belong to an in-flight commit. The grace window makes GC safe to
-        run alongside writers; pass 0 only when no writer can be in flight."""
+        run alongside writers; pass 0 only when no writer can be in flight.
+
+        Runs from the MAIN handle only: data/ and meta/fm/ are shared with
+        every branch, and a branch handle's own chain pins neither main's
+        files nor its siblings' — collecting references from it would
+        silently delete live data (raises instead)."""
         import time as _time
 
+        if self.branch is not None:
+            raise ValueError(
+                "gc_orphans must run from the main handle: a branch's chain "
+                "does not pin main's or sibling branches' files in the "
+                "shared data/ and meta/fm/ dirs"
+            )
         referenced, referenced_sidecars = collect_references(self, self.versions())
         for name in (self.branches() if self.branch is None else []):
             # live branches pin their files/sidecars exactly like snapshots
