@@ -1,0 +1,330 @@
+"""Incremental materialized AGGREGATE views over a miniberg CDC table —
+classic incremental view maintenance (IVM), the missing consumer tier above
+the index syncs: a persisted ``GROUP BY`` whose every sync is EXACT (no
+recall debt, no stale fraction), maintained from the change feed instead of
+recomputed.
+
+Reference parity: the reference's metric/export views (SURVEY.md §2.1 S7,
+§2.4 A1/A7 [U]) are recomputed per run; this module gives them the
+CDC-native form — the view advances with the table.
+
+How a sync stays exact without reading old row values:
+
+- The snapshot differ never emits pre-images, and it does not need to here:
+  buckets whose file sets did not move between the two snapshots contribute
+  IDENTICALLY to both, so for the additive aggregates (count / sum — avg is
+  sum/count at read) the delta is ``partial(new, changed buckets) −
+  partial(old, changed buckets)``, two bucket-pruned map-side-combinable
+  partial aggregations merged into the stored view by group key. Untouched
+  buckets are never read; untouched groups are carried verbatim.
+- min/max are not self-maintainable under delete/update (the dropped row may
+  BE the extremum). The recompute set is ROW-precise: a keyed diff over the
+  changed buckets finds groups that LOST a row (deleted key, or an updated
+  key whose group/value moved) — only those get their min/max recomputed
+  exactly, with ONE scan of the current snapshot semi-joined to that group
+  set. Groups merely co-located in a touched bucket (their rows survive
+  identically) and insert-only groups merge monotonically
+  (``least``/``greatest``) with no recompute. At 100 TB the recompute scan is the
+  honest cost of exact extrema — it prices per sync as (table scan) ×
+  (selectivity of affected groups), runs at most once per sync, and skips
+  entirely for insert-only batches (the common append-heavy case). A
+  deployment that tolerates approximate extrema under deletes would swap
+  this for a per-group low/high reservoir; exactness is this engine's bar.
+
+Sums are maintained in DECIMAL(28,4) (values cast to DECIMAL(18,4) before
+the first SUM): decimal add/subtract is exact, so incremental deltas never
+drift from the full recompute — float sums would diverge by fold order.
+
+Storage/lifecycle: the view is an artifact-store versioned payload
+(``view/`` parquet + ``sync.json`` carrying {table_uuid, version, group_col,
+value_col}) with the same contract as the band/IVF indexes — atomic CURRENT
+flip, CAS'd mutating lifecycle (one sync writer; a lost CAS re-enters),
+snapshot-keyed rebuilds, GC grace + reader pins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from recidiviz_data_spark.operators.base import _qx
+from recidiviz_data_spark.session import materialize
+
+_VAL_T = "decimal(18,4)"   # cast-before-SUM type (repo exactness rule)
+_SUM_T = "decimal(28,4)"   # stored running-sum type: exact +/- deltas
+
+
+def agg_view_path(table, group_col: str, value_col: str) -> str:
+    uid = table.manifest()["table_uuid"]
+    return os.path.join(
+        tempfile.gettempdir(), f"rds_aggview_{uid}_{group_col}_{value_col}"
+    )
+
+
+def _aggs(df, group_col: str, value_col: str):
+    """The view's aggregate shape — used by full rebuilds AND by the two
+    changed-bucket partials (Spark plans both with a map-side partial
+    aggregate, so the shuffle carries one row per (task, group))."""
+    return df.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(value_col).cast(_VAL_T)).cast(_SUM_T).alias("sum_val"),
+        F.min(value_col).alias("min_val"),
+        F.max(value_col).alias("max_val"),
+    )
+
+
+def agg_view_read(spark, path: str):
+    """Current view: (group, n_rows, sum_val, min_val, max_val, avg_val).
+    avg derives at read (sum/count are the maintained state). Accepts a
+    resolved payload dir in place of the artifact base (pinned readers)."""
+    from recidiviz_data_spark.tables import artifacts
+
+    r = artifacts.resolve(path)
+    payload = r[0] if r is not None else path
+    df = spark.read.parquet(os.path.join(payload, "view"))
+    return df.withColumn(
+        "avg_val", F.col("sum_val").cast("double") / F.col("n_rows")
+    )
+
+
+def agg_view_sync(spark, table, path: str | None = None, *,
+                  group_col: str, value_col: str) -> dict:
+    """Advance the materialized aggregate view to the table's current
+    version. First call (or spec/table mismatch, or a version the view is
+    ahead of, or lost bucket identity) rebuilds from a full scan; after
+    that every sync is incremental AND exact — see the module docstring.
+    Returns {action, version, groups, recomputed_groups}."""
+    from recidiviz_data_spark.tables import artifacts
+
+    base = path or agg_view_path(table, group_col, value_col)
+    cur_v = table.current_version()
+    uid = table.manifest()["table_uuid"] + (
+        f"@{table.branch}" if getattr(table, "branch", None) else ""
+    )
+
+    def _meta(n_groups: int) -> dict:
+        return {"table_uuid": uid, "version": cur_v, "n_groups": n_groups,
+                "group_col": group_col, "value_col": value_col}
+
+    def _write(stage: str, view_df, meta: dict) -> None:
+        os.makedirs(stage)
+        view_df.write.parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "sync.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _rebuild() -> dict:
+        view = materialize(_aggs(table.read(spark), group_col, value_col))
+        n_groups = view.count()
+        artifacts.ensure(
+            base,
+            f"miniberg:{uid}:v{cur_v}:agg:{group_col}:{value_col}",
+            lambda stage: _write(stage, view, _meta(n_groups)),
+        )
+        return {"action": "rebuild", "version": cur_v, "groups": n_groups,
+                "recomputed_groups": 0}
+
+    # ONE resolve: the meta we plan from and the seq we CAS on must come
+    # from the same pointer state (the standard sync-lifecycle rule)
+    r0 = artifacts.resolve_full(base)
+    meta = artifacts.sync_meta_at(r0[0]) if r0 is not None else None
+    if (
+        meta is None
+        or meta.get("table_uuid") != uid
+        or meta["version"] > cur_v
+        or meta.get("group_col") != group_col
+        or meta.get("value_col") != value_col
+    ):
+        return _rebuild()
+    if meta["version"] == cur_v:
+        return {"action": "noop", "version": cur_v,
+                "groups": meta["n_groups"], "recomputed_groups": 0}
+    cb = table.changed_buckets(meta["version"], cur_v)
+    if cb is None:
+        return _rebuild()  # bucket function changed: no stable prune identity
+
+    g = group_col
+    key = table.manifest(cur_v)["key_col"]
+    view = spark.read.parquet(os.path.join(r0[0], "view"))
+    zero = F.lit(0).cast(_SUM_T)
+    # both changed-bucket snapshots are consumed twice (partial aggregate +
+    # the keyed removal diff) — materialize each once
+    o_rows = materialize(
+        table.read(spark, version=meta["version"], buckets=cb)
+        .select(key, g, value_col)
+    )
+    n_rows_df = materialize(
+        table.read(spark, version=cur_v, buckets=cb).select(key, g, value_col)
+    )
+    old_part = _aggs(o_rows, g, value_col).select(
+        g, F.col("n_rows").alias("o_n"), F.col("sum_val").alias("o_sum")
+    )
+    new_part = _aggs(n_rows_df, g, value_col).select(
+        g, F.col("n_rows").alias("i_n"), F.col("sum_val").alias("i_sum"),
+        F.col("min_val").alias("i_min"), F.col("max_val").alias("i_max"))
+    # all group-key joins are NULL-SAFE: a null group is a real group under
+    # GROUP BY semantics, and plain equi-joins would never match it (the
+    # stored null-group row and its partials would drift apart as duplicates)
+    j1 = (
+        view.alias("v")
+        .join(old_part.alias("o"),
+              F.col(f"v.{g}").eqNullSafe(F.col(f"o.{g}")), "full_outer")
+        .select(F.coalesce(f"v.{g}", f"o.{g}").alias(g),
+                "v.n_rows", "v.sum_val", "v.min_val", "v.max_val",
+                "o.o_n", "o.o_sum")
+    )
+    merged = materialize(
+        j1.alias("x")
+        .join(new_part.alias("i"),
+              F.col(f"x.{g}").eqNullSafe(F.col(f"i.{g}")), "full_outer")
+        .select(F.coalesce(f"x.{g}", f"i.{g}").alias(g),
+                "x.n_rows", "x.sum_val", "x.min_val", "x.max_val",
+                "x.o_n", "x.o_sum", "i.i_n", "i.i_sum", "i.i_min", "i.i_max")
+        .withColumn(
+            "n2",
+            F.coalesce("n_rows", F.lit(0)) - F.coalesce("o_n", F.lit(0))
+            + F.coalesce("i_n", F.lit(0)),
+        )
+        .withColumn(
+            "sum2",
+            F.coalesce(F.col("sum_val"), zero) - F.coalesce(F.col("o_sum"), zero)
+            + F.coalesce(F.col("i_sum"), zero),
+        )
+        .filter(F.col("n2") > 0)  # emptied groups leave the view
+    )
+
+    # min/max recompute set: groups that LOST a row (delete, or an update
+    # that changed the row's group/value) — a row-level keyed diff over the
+    # changed buckets only. Pure inserts never land here (their bucket
+    # neighbours' rows survive identically into the new partial), so
+    # append-heavy syncs pay no recompute scan at all.
+    a, b = o_rows.alias("a"), n_rows_df.alias("b")
+    lost = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "left_anti").select(
+        F.col(f"a.{g}").alias(g)
+    )
+    changed_rows = (
+        a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"))
+        .filter(
+            ~F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+            | ~F.col(f"a.{value_col}").eqNullSafe(F.col(f"b.{value_col}"))
+        )
+        .select(F.col(f"a.{g}").alias(g))  # the OLD group lost this row
+    )
+    rec = lost.unionByName(changed_rows).distinct()
+    n_rec = rec.count()
+    if n_rec:
+        cur = table.read(spark, version=cur_v).alias("t")
+        rx = (
+            cur.join(rec.alias("r"),
+                     F.col(f"t.{g}").eqNullSafe(F.col(f"r.{g}")), "left_semi")
+            .groupBy(g)
+            .agg(F.min(value_col).alias("r_min"), F.max(value_col).alias("r_max"))
+            .withColumn("_rec", F.lit(True))
+        )
+        merged = (
+            merged.alias("m")
+            .join(rx.alias("rx"),
+                  F.col(f"m.{g}").eqNullSafe(F.col(f"rx.{g}")), "left_outer")
+            .drop(F.col(f"rx.{g}"))
+        )
+        # _rec marks recomputed groups (r_min/r_max may be legitimately null
+        # when the group's surviving values are all null)
+        min_expr = F.when(F.col("_rec").isNotNull(), F.col("r_min")).otherwise(
+            F.least("min_val", "i_min")
+        )
+        max_expr = F.when(F.col("_rec").isNotNull(), F.col("r_max")).otherwise(
+            F.greatest("max_val", "i_max")
+        )
+    else:  # insert-only sync: pure monotone merge, no table scan at all
+        min_expr = F.least("min_val", "i_min")
+        max_expr = F.greatest("max_val", "i_max")
+
+    out = materialize(
+        merged.select(
+            g,
+            F.col("n2").cast("long").alias("n_rows"),
+            F.col("sum2").cast(_SUM_T).alias("sum_val"),
+            min_expr.alias("min_val"),
+            max_expr.alias("max_val"),
+        )
+    )
+    n_out = out.count()
+    try:
+        artifacts.publish(
+            base, artifacts.mutated_key(r0[1]),
+            lambda stage: _write(stage, out, _meta(n_out)),
+            expected_seq=r0[2],
+        )
+    except artifacts.ArtifactConflict:
+        # a concurrent sync advanced the view: re-enter against its state
+        return agg_view_sync(spark, table, path,
+                             group_col=group_col, value_col=value_col)
+    return {"action": "incremental", "version": cur_v, "groups": n_out,
+            "recomputed_groups": n_rec}
+
+
+def _agg_oracle_sql() -> str:
+    """DuckDB oracle: the LWW fold of the deterministic generated changelog,
+    aggregated per source with the view's exact column set. Single division
+    for avg on both engines (exact-integer operands → bit-identical)."""
+    from recidiviz_data_spark.operators.cdcops import APPLY_GEN, changelog_dir
+
+    glob_path = os.path.join(
+        changelog_dir("apply", APPLY_GEN), "batch_id=*", "part-*.parquet"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT doc_id, op, n_tok, source,
+             row_number() OVER (PARTITION BY doc_id ORDER BY event_seq DESC) AS rn
+      FROM read_parquet('{glob_path}')
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+           MIN(n_tok) AS min_tok,
+           MAX(n_tok) AS max_tok,
+           CAST(SUM(CAST(n_tok AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tok
+    FROM ev WHERE rn = 1 AND op <> 'D'
+    GROUP BY source
+    """
+
+
+@_qx("x_agg_view_sync", _agg_oracle_sql())
+def x_agg_view_sync(spark, sf_dir):
+    """End-to-end IVM demo on the deterministic engine changelog: apply it
+    batch-by-batch into the shared miniberg table (same workdir as
+    ``cdc_apply_state`` — watermark makes re-application a noop) and
+    ``agg_view_sync`` after EVERY batch, so the returned state was reached
+    through incremental maintenance, not one final recompute. The oracle is
+    the single-shot SQL LWW fold + GROUP BY — batchwise view maintenance
+    must converge to exactly it."""
+    from recidiviz_data_spark.cdc.apply import apply_batches, create_empty_table
+    from recidiviz_data_spark.operators.cdcops import (
+        APPLY_GEN,
+        _payload_schema,
+        _workdir,
+        ensure_changelog,
+    )
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    cl = ensure_changelog("apply", APPLY_GEN)
+    wd = _workdir("apply", APPLY_GEN)
+    troot = os.path.join(wd, "table")
+    if Miniberg.exists(troot):
+        table = Miniberg(troot)
+    else:
+        table = create_empty_table(troot, _payload_schema(), num_buckets=8)
+    vpath = os.path.join(wd, "aggview_source_ntok")
+    for b in range(APPLY_GEN["n_batches"]):
+        apply_batches(spark, table, cl, upto=b)
+        agg_view_sync(spark, table, vpath, group_col="source", value_col="n_tok")
+    return agg_view_read(spark, vpath).select(
+        "source",
+        F.col("n_rows").alias("n_docs"),
+        F.col("sum_val").cast("long").alias("total_tokens"),
+        F.col("min_val").alias("min_tok"),
+        F.col("max_val").alias("max_tok"),
+        F.col("avg_val").alias("avg_tok"),
+    )

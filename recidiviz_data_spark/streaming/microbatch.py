@@ -184,6 +184,7 @@ def index_sync_hook(
     band_path: str | None = None,
     ivf_path: str | None = None,
     clusters_path: str | None = None,
+    agg_views: list[tuple[str, str, str]] | None = None,
     sync_kw: dict | None = None,
     results: list | None = None,
 ):
@@ -199,6 +200,11 @@ def index_sync_hook(
     already-current index (noop). At 100 TB this is the serving story: the
     stream commits a snapshot, the indexes advance incrementally, searches
     read only probed cells/bands — no full rebuild on any hot path.
+
+    ``agg_views`` — (path, group_col, value_col) specs — keeps incremental
+    materialized aggregate views (operators/aggview.py) in the same loop:
+    each micro-batch advances them exactly via changed-bucket partial
+    re-aggregation, the streaming half of classic IVM.
 
     ``results`` (optional list) collects each sync's return dict, tagged
     with index kind and batch_id, for observability/assertions."""
@@ -221,6 +227,14 @@ def index_sync_hook(
                 ("clusters",
                  neardup_clusters_sync(spark, table, clusters_path,
                                        band_path=band_path, **kw))
+            )
+        for spec in agg_views or []:
+            from recidiviz_data_spark.operators.aggview import agg_view_sync
+
+            vpath, g, v = spec
+            outs.append(
+                (f"aggview:{g}:{v}",
+                 agg_view_sync(spark, table, vpath, group_col=g, value_col=v))
             )
         if results is not None:
             for kind, r in outs:

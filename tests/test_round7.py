@@ -3,7 +3,10 @@ flip lock, ivf append/refresh refusal on sync-managed indexes, band-sync span
 guard, publish_branch blob re-check) and the round-7 build items (the
 split-verify cap bounding the shrunk-cluster blast radius, WAP delta audits
 over bucket-pruned table_changes, cross-artifact consistency stamps,
-artifact reader pins + per-call GC grace, read_keys broadcast threshold)."""
+artifact reader pins + per-call GC grace, read_keys broadcast threshold,
+bucket+column-pruned index-sync diffs, and the incremental materialized
+aggregate view: exact IVM from changed-bucket partial re-aggregation, with
+null-safe group keys and the index_sync_hook streaming tie-in)."""
 
 from __future__ import annotations
 
@@ -742,3 +745,204 @@ def test_index_sync_diff_is_bucket_and_column_pruned(spark, tmp_path):
     bands = band_index_bands(spark, bpath)
     assert bands.filter(F.col("doc_id") == "doc_200").count() > 0
     assert band_index_sync(spark, table, bpath)["action"] == "noop"
+
+# ------------------------------------------------- incremental aggregate view
+
+
+def _av_table(spark, tmp_path, n=60, buckets=8):
+    from recidiviz_data_spark.cdc.apply import bootstrap_table
+
+    rows = [(f"doc_{i:03d}", [1], 1, f"s{i % 5}", (i * 7) % 100) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, val int")
+    return bootstrap_table(spark, str(tmp_path / "t_av"), df, num_buckets=buckets)
+
+
+def _av_full(spark, table):
+    from recidiviz_data_spark.operators.aggview import _aggs
+
+    return {
+        tuple(r) for r in _aggs(table.read(spark), "source", "val")
+        .withColumn("sum_val", F.col("sum_val").cast("double")).collect()
+    }
+
+
+def _av_view(spark, path):
+    from recidiviz_data_spark.operators.aggview import agg_view_read
+
+    return {
+        tuple(r) for r in agg_view_read(spark, path)
+        .select("source", "n_rows", F.col("sum_val").cast("double"),
+                "min_val", "max_val").collect()
+    }
+
+
+def test_agg_view_sync_exact_across_iud(spark, tmp_path):
+    """Every sync — insert-only, update-heavy, delete-of-extremum, group
+    emptied — leaves the view byte-equal to a full recompute; insert-only
+    batches skip the min/max recompute scan entirely."""
+    from recidiviz_data_spark.cdc.apply import apply_batch
+    from recidiviz_data_spark.operators.aggview import agg_view_sync
+
+    table = _av_table(spark, tmp_path)
+    path = str(tmp_path / "av")
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert res["action"] == "rebuild" and res["groups"] == 5
+    assert _av_view(spark, path) == _av_full(spark, table)
+    assert agg_view_sync(spark, table, path, group_col="source",
+                         value_col="val")["action"] == "noop"
+
+    ev_schema = ("event_seq long, op string, doc_id string, tokens array<int>, "
+                 "n_tok int, source string, val int")
+
+    # insert-only: monotone merge, NO recompute scan
+    ins = spark.createDataFrame(
+        [(1, "I", "doc_900", [1], 1, "s0", 999),
+         (2, "I", "doc_901", [1], 1, "s9", -5)], ev_schema)
+    apply_batch(spark, table, ins, 0, compact=False)
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert res["action"] == "incremental" and res["recomputed_groups"] == 0
+    assert res["groups"] == 6  # new group s9
+    assert _av_view(spark, path) == _av_full(spark, table)
+
+    # delete the max of s0 (doc_900, 999) + update another doc's value:
+    # affected groups get the exact recompute, others don't
+    upd = spark.createDataFrame(
+        [(3, "D", "doc_900", None, None, None, None),
+         (4, "U", "doc_000", [1], 1, "s0", -777)], ev_schema)
+    apply_batch(spark, table, upd, 1, compact=False)
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert res["action"] == "incremental" and res["recomputed_groups"] >= 1
+    got = _av_view(spark, path)
+    assert got == _av_full(spark, table)
+    # s0: 12 original docs, doc_900 inserted then deleted, doc_000's val
+    # 0 -> -777 (the group min), max recomputed over the survivors
+    assert ("s0", 12, sum((i * 7) % 100 for i in range(0, 60, 5)) - 0 + (-777),
+            -777, max((i * 7) % 100 for i in range(5, 60, 5))) in got
+
+    # empty a whole group: s9 leaves the view
+    rm = spark.createDataFrame(
+        [(5, "D", "doc_901", None, None, None, None)], ev_schema)
+    apply_batch(spark, table, rm, 2, compact=False)
+    agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    got = _av_view(spark, path)
+    assert got == _av_full(spark, table)
+    assert not any(r[0] == "s9" for r in got)
+
+
+def test_agg_view_spec_change_and_version_regression_rebuild(spark, tmp_path):
+    """A different (group_col, value_col) spec — or a view ahead of the
+    table (time travel) — rebuilds instead of merging mismatched state."""
+    from recidiviz_data_spark.operators.aggview import agg_view_sync
+
+    table = _av_table(spark, tmp_path, n=20, buckets=2)
+    path = str(tmp_path / "av2")
+    agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="n_tok")
+    assert res["action"] == "rebuild"
+    view = _av_view(spark, path)  # now the n_tok view
+    assert all(r[2] == r[1] * 1.0 for r in view)  # n_tok==1 per doc: sum==n
+
+def test_agg_view_null_group_handling(spark, tmp_path):
+    """NULL is a real group under GROUP BY — every group-key join in the
+    sync is null-safe, so the null group merges, recomputes, and empties
+    exactly like any other (plain equi-joins would duplicate it forever)."""
+    from recidiviz_data_spark.cdc.apply import apply_batch
+    from recidiviz_data_spark.operators.aggview import agg_view_sync
+
+    table = _av_table(spark, tmp_path, n=20, buckets=2)
+    path = str(tmp_path / "avn")
+    agg_view_sync(spark, table, path, group_col="source", value_col="val")
+
+    ev_schema = ("event_seq long, op string, doc_id string, tokens array<int>, "
+                 "n_tok int, source string, val int")
+    ins = spark.createDataFrame(
+        [(1, "I", "doc_800", [1], 1, None, 50),
+         (2, "I", "doc_801", [1], 1, None, 7)], ev_schema)
+    apply_batch(spark, table, ins, 0, compact=False)
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert res["recomputed_groups"] == 0  # insert-only, even for null group
+    got = _av_view(spark, path)
+    assert got == _av_full(spark, table)
+    assert (None, 2, 57.0, 7, 50) in got
+
+    # delete the null group's max: null-safe recompute, no duplicate rows
+    rm = spark.createDataFrame([(3, "D", "doc_800", None, None, None, None)],
+                               ev_schema)
+    apply_batch(spark, table, rm, 1, compact=False)
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert res["recomputed_groups"] >= 1
+    got = _av_view(spark, path)
+    assert got == _av_full(spark, table)
+    assert (None, 1, 7.0, 7, 7) in got
+    assert sum(1 for r in got if r[0] is None) == 1
+
+def test_agg_view_follows_stream(spark, tmp_path):
+    """index_sync_hook(agg_views=...): every committed micro-batch advances
+    the materialized aggregate view — rebuild on epoch 1, exact incremental
+    syncs after — and the final view equals a full recompute over the final
+    snapshot (the streaming half of IVM)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from recidiviz_data_spark.cdc.apply import create_empty_table
+    from recidiviz_data_spark.operators.aggview import _aggs
+    from recidiviz_data_spark.streaming.microbatch import (
+        index_sync_hook,
+        stream_apply_available_now,
+    )
+
+    def write_batch(bid, rows):
+        # rows: (event_seq, op, doc_id, source|None, val|None)
+        bdir = tmp_path / "cl" / f"batch_id={bid}"
+        bdir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "event_seq": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "doc_id": pa.array([r[2] for r in rows], pa.string()),
+                "tokens": pa.array(
+                    [None if r[1] == "D" else [1] for r in rows],
+                    pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [None if r[1] == "D" else 1 for r in rows], pa.int32()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "val": pa.array([r[4] for r in rows], pa.int32()),
+            }),
+            str(bdir / "part-0.parquet"),
+        )
+
+    write_batch(0, [(i + 1, "I", f"doc_{i:02d}", f"s{i % 3}", i * 10)
+                    for i in range(12)])
+    write_batch(1, [(13, "I", "doc_90", "s0", 999),
+                    (14, "D", "doc_00", None, None)])
+    write_batch(2, [(15, "U", "doc_90", "s1", -4),   # group move
+                    (16, "D", "doc_04", None, None)])
+
+    schema = T.StructType([
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("val", T.IntegerType(), True),
+    ])
+    payload = T.StructType([f for f in schema.fields
+                            if f.name not in ("event_seq", "op")])
+    table = create_empty_table(str(tmp_path / "t_avs"), payload, num_buckets=4)
+    vpath = str(tmp_path / "avstream")
+    rs: list[dict] = []
+    hook = index_sync_hook(spark, agg_views=[(vpath, "source", "val")],
+                           results=rs)
+    stream_apply_available_now(spark, table, str(tmp_path / "cl"),
+                               str(tmp_path / "ck"), max_files_per_trigger=1,
+                               schema=schema, post_batch=hook, compact=False)
+
+    assert [r["action"] for r in rs] == ["rebuild", "incremental", "incremental"]
+    assert rs[0]["kind"] == "aggview:source:val"
+    assert _av_view(spark, vpath) == {
+        tuple(r) for r in _aggs(table.read(spark), "source", "val")
+        .withColumn("sum_val", F.col("sum_val").cast("double")).collect()
+    }
