@@ -328,3 +328,298 @@ def x_agg_view_sync(spark, sf_dir):
         F.col("max_val").alias("max_tok"),
         F.col("avg_val").alias("avg_tok"),
     )
+
+
+# --------------------------------------------------------------------------
+# COUNT(DISTINCT) views — the other non-self-maintainable aggregate, made
+# exactly incremental with the classic SUPPORT MULTISET: persist per
+# (group, value) multiplicities; distinct-count = live support rows per
+# group. Every delta is additive at the (group, value) grain, so inserts,
+# updates AND deletes maintain exactly — no recompute scan exists in this
+# lifecycle at all (unlike min/max). The support table is the honest cost:
+# one row per live (group, value) pair.
+#
+# At-scale layout: support is hash-partitioned on the group key
+# (``part = pmod(xxhash64(g), DISTINCT_SUPPORT_PARTS)``); a sync rewrites
+# ONLY the partitions holding changed groups and hardlink-carries the rest
+# from the previous version — write cost scales with the batch's group
+# footprint, not the support size. The per-group summary (``view/``) is
+# maintained incrementally too: +groups whose value appeared, −values that
+# dropped to multiplicity 0 (computed from the same merge, before dead
+# support rows are filtered).
+#
+# SQL semantics: COUNT(DISTINCT x) ignores NULL values — null values never
+# enter the support; a NULL GROUP is still a real group (null-safe joins,
+# as in agg_view_sync).
+
+DISTINCT_SUPPORT_PARTS = 32
+
+
+def _part_of(g):
+    return F.pmod(F.xxhash64(F.col(g)), F.lit(DISTINCT_SUPPORT_PARTS)).cast("int")
+
+
+def distinct_view_path(table, group_col: str, value_col: str) -> str:
+    uid = table.manifest()["table_uuid"]
+    return os.path.join(
+        tempfile.gettempdir(), f"rds_distview_{uid}_{group_col}_{value_col}"
+    )
+
+
+def distinct_view_read(spark, path: str):
+    """Current summary: (group, n_distinct). Accepts a resolved payload dir
+    (pinned readers) in place of the artifact base."""
+    from recidiviz_data_spark.tables import artifacts
+
+    r = artifacts.resolve(path)
+    payload = r[0] if r is not None else path
+    return spark.read.parquet(os.path.join(payload, "view"))
+
+
+def distinct_view_support(spark, path: str):
+    """The support multiset: (group, value, cnt, part) — one row per live
+    (group, value) pair with its multiplicity."""
+    from recidiviz_data_spark.tables import artifacts
+
+    r = artifacts.resolve(path)
+    payload = r[0] if r is not None else path
+    return spark.read.parquet(os.path.join(payload, "support"))
+
+
+def _support_of(df, g: str, v: str):
+    return (
+        df.filter(F.col(v).isNotNull())  # COUNT(DISTINCT) ignores nulls
+        .groupBy(g, v)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("part", _part_of(g))
+    )
+
+
+def _write_support(df, out: str) -> None:
+    """partitionBy-append, plus the empty-table edge: a partitioned write of
+    ZERO rows leaves no parquet at all (schema inference on the next read
+    would fail), so an emptied support lands as one zero-row unpartitioned
+    file that still carries the full schema."""
+    df.write.mode("append").partitionBy("part").parquet(out)
+    has_files = any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(out)
+        for f in fs
+    )
+    if not has_files:
+        df.limit(0).write.mode("overwrite").parquet(out)
+
+
+def distinct_view_sync(spark, table, path: str | None = None, *,
+                       group_col: str, value_col: str) -> dict:
+    """Advance the COUNT(DISTINCT value_col) view per group_col to the
+    table's current version. Fully incremental and exact under I/U/D — the
+    delta multiset from the changed buckets merges into the support at the
+    (group, value) grain; only support partitions holding changed groups
+    are rewritten (the rest hardlink-carry). Returns {action, version,
+    groups, changed_parts}."""
+    from recidiviz_data_spark.tables import artifacts
+
+    base = path or distinct_view_path(table, group_col, value_col)
+    cur_v = table.current_version()
+    uid = table.manifest()["table_uuid"] + (
+        f"@{table.branch}" if getattr(table, "branch", None) else ""
+    )
+    g, v = group_col, value_col
+
+    def _meta(n_groups: int) -> dict:
+        return {"table_uuid": uid, "version": cur_v, "n_groups": n_groups,
+                "group_col": g, "value_col": v, "kind": "distinct"}
+
+    def _rebuild() -> dict:
+        sup = materialize(_support_of(table.read(spark), g, v))
+        summary = materialize(
+            sup.groupBy(g).agg(F.count("*").cast("long").alias("n_distinct"))
+        )
+        n_groups = summary.count()
+
+        def _build(stage: str) -> None:
+            os.makedirs(stage)
+            _write_support(sup, os.path.join(stage, "support"))
+            summary.write.parquet(os.path.join(stage, "view"))
+            with open(os.path.join(stage, "sync.json"), "w") as f:
+                json.dump(_meta(n_groups), f)
+
+        artifacts.ensure(
+            base, f"miniberg:{uid}:v{cur_v}:distinct:{g}:{v}", _build
+        )
+        return {"action": "rebuild", "version": cur_v, "groups": n_groups,
+                "changed_parts": DISTINCT_SUPPORT_PARTS}
+
+    r0 = artifacts.resolve_full(base)
+    meta = artifacts.sync_meta_at(r0[0]) if r0 is not None else None
+    if (
+        meta is None
+        or meta.get("table_uuid") != uid
+        or meta["version"] > cur_v
+        or meta.get("group_col") != g
+        or meta.get("value_col") != v
+        or meta.get("kind") != "distinct"
+    ):
+        return _rebuild()
+    if meta["version"] == cur_v:
+        return {"action": "noop", "version": cur_v,
+                "groups": meta["n_groups"], "changed_parts": 0}
+    cb = table.changed_buckets(meta["version"], cur_v)
+    if cb is None:
+        return _rebuild()
+
+    payload = r0[0]
+    # delta multiset at the (group, value) grain: -old +new multiplicities
+    o_sup = _support_of(
+        table.read(spark, version=meta["version"], buckets=cb).select(g, v), g, v
+    ).withColumn("cnt", -F.col("cnt"))
+    n_sup = _support_of(
+        table.read(spark, version=cur_v, buckets=cb).select(g, v), g, v
+    )
+    delta = materialize(
+        o_sup.unionByName(n_sup)
+        .groupBy(g, v, "part")
+        .agg(F.sum("cnt").cast("long").alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    changed_parts = sorted(
+        r["part"] for r in delta.select("part").distinct().collect()
+    )
+    if not changed_parts:  # file sets moved (compaction) but values didn't
+        n_groups = meta["n_groups"]
+
+        def _carry(stage: str) -> None:
+            os.makedirs(stage)
+            artifacts.link_tree(os.path.join(payload, "support"),
+                                os.path.join(stage, "support"))
+            artifacts.link_tree(os.path.join(payload, "view"),
+                                os.path.join(stage, "view"))
+            with open(os.path.join(stage, "sync.json"), "w") as f:
+                json.dump(_meta(n_groups), f)
+
+        try:
+            artifacts.publish(base, artifacts.mutated_key(r0[1]), _carry,
+                              expected_seq=r0[2])
+        except artifacts.ArtifactConflict:
+            return distinct_view_sync(spark, table, path, group_col=g, value_col=v)
+        return {"action": "incremental", "version": cur_v,
+                "groups": n_groups, "changed_parts": 0}
+
+    # merge the delta into ONLY the touched support partitions (partition
+    # pruning on part); keep dead rows long enough to compute the summary
+    # delta (a value dropping to multiplicity 0 decrements n_distinct)
+    old_sup = spark.read.parquet(os.path.join(payload, "support")).filter(
+        F.col("part").isin(changed_parts)
+    )
+    merged = materialize(
+        old_sup.alias("s")
+        .join(
+            delta.alias("d"),
+            F.col(f"s.{g}").eqNullSafe(F.col(f"d.{g}"))
+            & (F.col(f"s.{v}") == F.col(f"d.{v}")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(f"s.{g}", f"d.{g}").alias(g),
+            F.coalesce(f"s.{v}", f"d.{v}").alias(v),
+            (F.coalesce("s.cnt", F.lit(0)) + F.coalesce("d.d", F.lit(0)))
+            .cast("long").alias("cnt"),
+            F.coalesce("s.part", "d.part").alias("part"),
+            F.col("s.cnt").isNotNull().alias("was_live"),
+        )
+    )
+    new_support = merged.filter(F.col("cnt") > 0).select(g, v, "cnt", "part")
+    sum_delta = (
+        merged.withColumn(
+            "dd",
+            F.when(~F.col("was_live") & (F.col("cnt") > 0), 1)
+            .when(F.col("was_live") & (F.col("cnt") <= 0), -1)
+            .otherwise(0),
+        )
+        .groupBy(g).agg(F.sum("dd").cast("long").alias("dd"))
+        .filter(F.col("dd") != 0)
+    )
+    old_view = spark.read.parquet(os.path.join(payload, "view"))
+    new_view = materialize(
+        old_view.alias("o")
+        .join(sum_delta.alias("x"),
+              F.col(f"o.{g}").eqNullSafe(F.col(f"x.{g}")), "full_outer")
+        .select(
+            F.coalesce(f"o.{g}", f"x.{g}").alias(g),
+            (F.coalesce("o.n_distinct", F.lit(0)) + F.coalesce("x.dd", F.lit(0)))
+            .cast("long").alias("n_distinct"),
+        )
+        .filter(F.col("n_distinct") > 0)
+    )
+    n_groups = new_view.count()
+
+    def _build(stage: str) -> None:
+        os.makedirs(os.path.join(stage, "support"))
+        # hardlink-carry the untouched support partitions; rewrite the rest
+        for d in os.listdir(os.path.join(payload, "support")):
+            full = os.path.join(payload, "support", d)
+            if not os.path.isdir(full):
+                continue  # parquet _SUCCESS etc. — regenerated by the write
+            k = int(d.split("=", 1)[1])
+            if k not in changed_parts:
+                artifacts.link_tree(full, os.path.join(stage, "support", d))
+        _write_support(new_support, os.path.join(stage, "support"))
+        new_view.write.parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "sync.json"), "w") as f:
+            json.dump(_meta(n_groups), f)
+
+    try:
+        artifacts.publish(base, artifacts.mutated_key(r0[1]), _build,
+                          expected_seq=r0[2])
+    except artifacts.ArtifactConflict:
+        return distinct_view_sync(spark, table, path, group_col=g, value_col=v)
+    return {"action": "incremental", "version": cur_v, "groups": n_groups,
+            "changed_parts": len(changed_parts)}
+
+
+def _distinct_oracle_sql() -> str:
+    from recidiviz_data_spark.operators.cdcops import APPLY_GEN, changelog_dir
+
+    glob_path = os.path.join(
+        changelog_dir("apply", APPLY_GEN), "batch_id=*", "part-*.parquet"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT doc_id, op, n_tok, source,
+             row_number() OVER (PARTITION BY doc_id ORDER BY event_seq DESC) AS rn
+      FROM read_parquet('{glob_path}')
+    )
+    SELECT source, CAST(COUNT(DISTINCT n_tok) AS BIGINT) AS n_distinct
+    FROM ev WHERE rn = 1 AND op <> 'D'
+    GROUP BY source
+    """
+
+
+@_qx("x_distinct_view_sync", _distinct_oracle_sql())
+def x_distinct_view_sync(spark, sf_dir):
+    """COUNT(DISTINCT) IVM demo on the deterministic engine changelog:
+    batch-by-batch `distinct_view_sync` must converge to the single-shot
+    DuckDB fold's per-source distinct n_tok count."""
+    from recidiviz_data_spark.cdc.apply import apply_batches, create_empty_table
+    from recidiviz_data_spark.operators.cdcops import (
+        APPLY_GEN,
+        _payload_schema,
+        _workdir,
+        ensure_changelog,
+    )
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    cl = ensure_changelog("apply", APPLY_GEN)
+    wd = _workdir("apply", APPLY_GEN)
+    troot = os.path.join(wd, "table")
+    if Miniberg.exists(troot):
+        table = Miniberg(troot)
+    else:
+        table = create_empty_table(troot, _payload_schema(), num_buckets=8)
+    vpath = os.path.join(wd, "distview_source_ntok")
+    for b in range(APPLY_GEN["n_batches"]):
+        apply_batches(spark, table, cl, upto=b)
+        distinct_view_sync(spark, table, vpath,
+                           group_col="source", value_col="n_tok")
+    return distinct_view_read(spark, vpath).select("source", "n_distinct")

@@ -946,3 +946,92 @@ def test_agg_view_follows_stream(spark, tmp_path):
         tuple(r) for r in _aggs(table.read(spark), "source", "val")
         .withColumn("sum_val", F.col("sum_val").cast("double")).collect()
     }
+
+def test_distinct_view_sync_exact_and_partition_carry(spark, tmp_path):
+    """COUNT(DISTINCT) IVM: the support multiset keeps every sync exact
+    under I/U/D with NO recompute scan; only support partitions holding
+    changed groups are rewritten (unchanged partitions hardlink-carry —
+    same inode); null values are ignored per SQL semantics."""
+    from recidiviz_data_spark.cdc.apply import apply_batch, bootstrap_table
+    from recidiviz_data_spark.operators.aggview import (
+        distinct_view_read,
+        distinct_view_support,
+        distinct_view_sync,
+    )
+    from recidiviz_data_spark.tables import artifacts
+
+    # 40 groups spread over the 32 support partitions; duplicate values
+    rows = [(f"doc_{i:03d}", [1], 1, f"g{i % 40}", (i // 40) * 10)
+            for i in range(120)]  # each group holds values {0,10,20}
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, val int")
+    table = bootstrap_table(spark, str(tmp_path / "t_dv"), df, num_buckets=4)
+    path = str(tmp_path / "dv")
+
+    def full():
+        return {
+            tuple(r) for r in table.read(spark).groupBy("source")
+            .agg(F.count_distinct("val").alias("n_distinct")).collect()
+        }
+
+    def view():
+        return {tuple(r) for r in distinct_view_read(spark, path).collect()}
+
+    res = distinct_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert res["action"] == "rebuild" and res["groups"] == 40
+    assert view() == full() and ("g0", 3) in view()
+    assert distinct_view_sync(spark, table, path, group_col="source",
+                              value_col="val")["action"] == "noop"
+    p_v1 = artifacts.resolve(path)[0]
+
+    ev_schema = ("event_seq long, op string, doc_id string, tokens array<int>, "
+                 "n_tok int, source string, val int")
+    # one batch touching ONLY g0: duplicate value (no distinct change), a new
+    # value, and a NULL value (ignored)
+    ev = spark.createDataFrame(
+        [(1, "I", "doc_900", [1], 1, "g0", 10),    # dup of existing value
+         (2, "I", "doc_901", [1], 1, "g0", 77),    # new value
+         (3, "I", "doc_902", [1], 1, "g0", None)], # null: ignored
+        ev_schema)
+    apply_batch(spark, table, ev, 0, compact=False)
+    res = distinct_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert res["action"] == "incremental"
+    assert 0 < res["changed_parts"] < 32
+    assert view() == full() and ("g0", 4) in view()
+
+    # unchanged support partitions are HARDLINK-carried (same inode)
+    p_v2 = artifacts.resolve(path)[0]
+    carried = None
+    for d in sorted(os.listdir(os.path.join(p_v1, "support"))):
+        a = os.path.join(p_v1, "support", d)
+        b = os.path.join(p_v2, "support", d)
+        if os.path.isdir(a) and os.path.isdir(b):
+            fa = sorted(f for f in os.listdir(a) if f.endswith(".parquet"))
+            fb = sorted(f for f in os.listdir(b) if f.endswith(".parquet"))
+            if fa and fa == fb and os.stat(os.path.join(a, fa[0])).st_ino == \
+                    os.stat(os.path.join(b, fb[0])).st_ino:
+                carried = d
+                break
+    assert carried is not None
+
+    # delete one of two copies of (g0, 10): distinct count unchanged; then
+    # the last copy: it drops; support row dies
+    ev2 = spark.createDataFrame(
+        [(4, "D", "doc_900", None, None, None, None)], ev_schema)
+    apply_batch(spark, table, ev2, 1, compact=False)
+    distinct_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert view() == full() and ("g0", 4) in view()
+
+    ev3 = spark.createDataFrame(
+        [(5, "D", "doc_040", None, None, None, None),  # g0's LAST val-10 doc
+         (6, "U", "doc_001", [1], 1, "g1", 500)],      # g1: 0 -> 500
+        ev_schema)
+    apply_batch(spark, table, ev3, 2, compact=False)
+    distinct_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert view() == full() and ("g0", 3) in view()  # {0, 20, 77}
+    sup = {
+        (r["source"], r["val"]): r["cnt"]
+        for r in distinct_view_support(spark, path).collect()
+    }
+    assert ("g0", 10) not in sup  # multiset emptied at value grain
+    assert sup[("g1", 500)] == 1 and ("g1", 0) not in sup
