@@ -860,7 +860,10 @@ def test_agg_view_null_group_handling(spark, tmp_path):
         [(1, "I", "doc_800", [1], 1, None, 50),
          (2, "I", "doc_801", [1], 1, None, 7)], ev_schema)
     apply_batch(spark, table, ins, 0, compact=False)
-    res = agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    # 2-bucket fixture: disable the changed-fraction rebuild guard so the
+    # incremental path itself is what this test exercises
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="val",
+                        rebuild_changed_fraction=1.0)
     assert res["recomputed_groups"] == 0  # insert-only, even for null group
     got = _av_view(spark, path)
     assert got == _av_full(spark, table)
@@ -870,7 +873,8 @@ def test_agg_view_null_group_handling(spark, tmp_path):
     rm = spark.createDataFrame([(3, "D", "doc_800", None, None, None, None)],
                                ev_schema)
     apply_batch(spark, table, rm, 1, compact=False)
-    res = agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="val",
+                        rebuild_changed_fraction=1.0)
     assert res["recomputed_groups"] >= 1
     got = _av_view(spark, path)
     assert got == _av_full(spark, table)
@@ -994,7 +998,8 @@ def test_distinct_view_sync_exact_and_partition_carry(spark, tmp_path):
          (3, "I", "doc_902", [1], 1, "g0", None)], # null: ignored
         ev_schema)
     apply_batch(spark, table, ev, 0, compact=False)
-    res = distinct_view_sync(spark, table, path, group_col="source", value_col="val")
+    res = distinct_view_sync(spark, table, path, group_col="source", value_col="val",
+                             rebuild_changed_fraction=1.0)
     assert res["action"] == "incremental"
     assert 0 < res["changed_parts"] < 32
     assert view() == full() and ("g0", 4) in view()
@@ -1019,7 +1024,8 @@ def test_distinct_view_sync_exact_and_partition_carry(spark, tmp_path):
     ev2 = spark.createDataFrame(
         [(4, "D", "doc_900", None, None, None, None)], ev_schema)
     apply_batch(spark, table, ev2, 1, compact=False)
-    distinct_view_sync(spark, table, path, group_col="source", value_col="val")
+    distinct_view_sync(spark, table, path, group_col="source", value_col="val",
+                       rebuild_changed_fraction=1.0)
     assert view() == full() and ("g0", 4) in view()
 
     ev3 = spark.createDataFrame(
@@ -1027,7 +1033,8 @@ def test_distinct_view_sync_exact_and_partition_carry(spark, tmp_path):
          (6, "U", "doc_001", [1], 1, "g1", 500)],      # g1: 0 -> 500
         ev_schema)
     apply_batch(spark, table, ev3, 2, compact=False)
-    distinct_view_sync(spark, table, path, group_col="source", value_col="val")
+    distinct_view_sync(spark, table, path, group_col="source", value_col="val",
+                       rebuild_changed_fraction=1.0)
     assert view() == full() and ("g0", 3) in view()  # {0, 20, 77}
     sup = {
         (r["source"], r["val"]): r["cnt"]
@@ -1035,3 +1042,87 @@ def test_distinct_view_sync_exact_and_partition_carry(spark, tmp_path):
     }
     assert ("g0", 10) not in sup  # multiset emptied at value grain
     assert sup[("g1", 500)] == 1 and ("g1", 0) not in sup
+
+def test_agg_view_fraction_guard_rebuilds(spark, tmp_path):
+    """A batch scattered over more than rebuild_changed_fraction of the
+    buckets makes the incremental path strictly worse than one full scan
+    (two changed-bucket scans + merges vs one) — the sync detects it from
+    changed_buckets (pure metadata) and rebuilds instead."""
+    from recidiviz_data_spark.cdc.apply import apply_batch
+    from recidiviz_data_spark.operators.aggview import agg_view_sync
+
+    table = _av_table(spark, tmp_path, n=40, buckets=4)
+    path = str(tmp_path / "avg_guard")
+    agg_view_sync(spark, table, path, group_col="source", value_col="val")
+
+    ev_schema = ("event_seq long, op string, doc_id string, tokens array<int>, "
+                 "n_tok int, source string, val int")
+    scattered = spark.createDataFrame(
+        [(i + 1, "I", f"doc_{800 + i}", [1], 1, f"s{i % 5}", i) for i in range(40)],
+        ev_schema)
+    apply_batch(spark, table, scattered, 0, compact=False)
+    res = agg_view_sync(spark, table, path, group_col="source", value_col="val")
+    assert res["action"] == "rebuild"  # 40 keys over 4 buckets: all moved
+    assert _av_view(spark, path) == _av_full(spark, table)
+
+def test_agg_view_minmax_partials_mode(spark, tmp_path):
+    """minmax="partials": extrema survive deletes via the per-(group, bucket)
+    partial tree — the fold reads partials, not the data table, and the new
+    max can live in an UNCHANGED bucket (carried partials must supply it).
+    Byte-parity with full recompute throughout; unchanged partial partitions
+    hardlink-carry."""
+    from recidiviz_data_spark.cdc.apply import apply_batch
+    from recidiviz_data_spark.operators.aggview import agg_view_sync
+    from recidiviz_data_spark.tables import artifacts
+
+    table = _av_table(spark, tmp_path, n=60, buckets=8)
+    path = str(tmp_path / "avp")
+    kw = dict(group_col="source", value_col="val", minmax="partials",
+              rebuild_changed_fraction=1.0)
+    res = agg_view_sync(spark, table, path, **kw)
+    assert res["action"] == "rebuild"
+    assert _av_view(spark, path) == _av_full(spark, table)
+    p_v1 = artifacts.resolve(path)[0]
+    assert os.path.isdir(os.path.join(p_v1, "minmax"))
+    # mode mismatch rebuilds (scan-mode view has no partial tree)
+    assert agg_view_sync(spark, table, path, group_col="source",
+                         value_col="val")["action"] == "rebuild"
+    agg_view_sync(spark, table, path, **kw)  # back to partials mode
+    p_v1 = artifacts.resolve(path)[0]
+
+    ev_schema = ("event_seq long, op string, doc_id string, tokens array<int>, "
+                 "n_tok int, source string, val int")
+    # insert a new global max for s0, then delete it: the fold must restore
+    # the old max from partials of buckets the delete batch never touched
+    ins = spark.createDataFrame(
+        [(1, "I", "doc_990", [1], 1, "s0", 9999)], ev_schema)
+    apply_batch(spark, table, ins, 0, compact=False)
+    res = agg_view_sync(spark, table, path, **kw)
+    assert res["action"] == "incremental" and res["recomputed_groups"] == 0
+    got = _av_view(spark, path)
+    assert got == _av_full(spark, table)
+    assert any(r[0] == "s0" and r[4] == 9999 for r in got)
+
+    rm = spark.createDataFrame(
+        [(2, "D", "doc_990", None, None, None, None)], ev_schema)
+    apply_batch(spark, table, rm, 1, compact=False)
+    res = agg_view_sync(spark, table, path, **kw)
+    assert res["action"] == "incremental" and res["recomputed_groups"] == 1
+    got = _av_view(spark, path)
+    assert got == _av_full(spark, table)
+    s0_max = max((i * 7) % 100 for i in range(0, 60, 5))
+    assert any(r[0] == "s0" and r[4] == s0_max for r in got)
+
+    # unchanged bucket partial partitions are hardlink-carried (same inode)
+    p_v3 = artifacts.resolve(path)[0]
+    carried = False
+    for d in sorted(os.listdir(os.path.join(p_v1, "minmax"))):
+        a, b = (os.path.join(p, "minmax", d) for p in (p_v1, p_v3))
+        if os.path.isdir(a) and os.path.isdir(b):
+            fa = sorted(f for f in os.listdir(a) if f.endswith(".parquet"))
+            fb = sorted(f for f in os.listdir(b) if f.endswith(".parquet"))
+            if fa and fa == fb and os.stat(os.path.join(a, fa[0])).st_ino == \
+                    os.stat(os.path.join(b, fb[0])).st_ino:
+                carried = True
+                break
+    assert carried
