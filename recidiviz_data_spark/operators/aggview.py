@@ -715,3 +715,245 @@ def x_distinct_view_sync(spark, sf_dir):
         distinct_view_sync(spark, table, vpath, group_col="source",
                            value_col="n_tok", rebuild_changed_fraction=1.0)
     return distinct_view_read(spark, vpath).select("source", "n_distinct")
+
+
+# --------------------------------------------------------------------------
+# TOP-K per group — the order-statistics member of the IVM family (additive:
+# count/sum; extrema: min/max; multiset: COUNT DISTINCT; order: top-k).
+# A materialized "top k rows by value per group" (the w1_topk_per_group
+# shape) maintained from the change feed.
+#
+# The partial tree does the heavy lifting, exactly as minmax="partials":
+# per (group, BUCKET) the top-k rows are persisted (at most k rows per
+# group per bucket, partitioned by bucket, hardlink-carried). The global
+# top-k per group is always a subset of the union of its per-bucket top-k
+# (any row beating a global top-k row beats its bucket's k-th row too), so
+# a sync only has to (a) recompute partials for the CHANGED buckets from
+# the read it already holds, and (b) re-fold the view rows of groups whose
+# changed-bucket partials differ — a delete of a top-k member refills from
+# the carried partials of untouched buckets, never from the data table.
+# Fully bucket-bounded, exact, no recompute scan.
+#
+# Ordering is (value DESC, key ASC) — the total-order tiebreak every
+# ranked view needs for determinism. NULL values are excluded (their rank
+# order is engine-dependent; SQL consumers filter them before ranking).
+
+def topk_view_path(table, group_col: str, value_col: str, k: int) -> str:
+    uid = table.manifest()["table_uuid"]
+    return os.path.join(
+        tempfile.gettempdir(), f"rds_topkview_{uid}_{group_col}_{value_col}_{k}"
+    )
+
+
+def topk_view_read(spark, path: str):
+    """Current view: (group, rnk, <key>, <value>) — k rows per group."""
+    from recidiviz_data_spark.tables import artifacts
+
+    r = artifacts.resolve(path)
+    payload = r[0] if r is not None else path
+    return spark.read.parquet(os.path.join(payload, "view"))
+
+
+def _topk_fold(partials, g: str, key: str, v: str, k: int):
+    """Global top-k per group from per-bucket partial rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(g).orderBy(F.col(v).desc(), F.col(key).asc())
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(g, "rnk", key, v)
+    )
+
+
+def topk_view_sync(spark, table, path: str | None = None, *,
+                   group_col: str, value_col: str, k: int = 3,
+                   rebuild_changed_fraction: float = 0.5) -> dict:
+    """Advance the materialized top-k view to the table's current version.
+    Incremental syncs are bucket-bounded: changed buckets' partials
+    recompute from the changed-bucket read, untouched partials hardlink-
+    carry, and only groups whose changed-bucket partials DIFFER re-fold
+    their view rows (from the partial table, never the data table).
+    Returns {action, version, groups, refolded_groups}."""
+    from pyspark.sql.window import Window
+
+    from recidiviz_data_spark.tables import artifacts
+
+    base = path or topk_view_path(table, group_col, value_col, k)
+    cur_v = table.current_version()
+    uid = table.manifest()["table_uuid"] + (
+        f"@{table.branch}" if getattr(table, "branch", None) else ""
+    )
+    g, v = group_col, value_col
+    key = table.manifest(cur_v)["key_col"]
+
+    def _meta(n_groups: int) -> dict:
+        return {"table_uuid": uid, "version": cur_v, "n_groups": n_groups,
+                "group_col": g, "value_col": v, "k": k, "kind": "topk"}
+
+    def _partials_of(df):
+        wb = Window.partitionBy(g, "bucket").orderBy(
+            F.col(v).desc(), F.col(key).asc()
+        )
+        return (
+            df.filter(F.col(v).isNotNull())
+            .withColumn("bucket", table.bucket_col())
+            .withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= k)
+            .select(g, key, v, "bucket")
+        )
+
+    def _write(stage: str, view_df, partials, meta: dict) -> None:
+        os.makedirs(stage)
+        view_df.write.parquet(os.path.join(stage, "view"))
+        _write_partitioned(partials, os.path.join(stage, "parts"), "bucket")
+        with open(os.path.join(stage, "sync.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _rebuild() -> dict:
+        partials = materialize(_partials_of(table.read(spark)))
+        view = materialize(_topk_fold(partials, g, key, v, k))
+        n_groups = view.select(g).distinct().count()
+        artifacts.ensure(
+            base, f"miniberg:{uid}:v{cur_v}:topk:{g}:{v}:{k}",
+            lambda stage: _write(stage, view, partials, _meta(n_groups)),
+        )
+        return {"action": "rebuild", "version": cur_v, "groups": n_groups,
+                "refolded_groups": 0}
+
+    r0 = artifacts.resolve_full(base)
+    meta = artifacts.sync_meta_at(r0[0]) if r0 is not None else None
+    if (
+        meta is None
+        or meta.get("table_uuid") != uid
+        or meta["version"] > cur_v
+        or meta.get("group_col") != g
+        or meta.get("value_col") != v
+        or meta.get("k") != k
+        or meta.get("kind") != "topk"
+    ):
+        return _rebuild()
+    if meta["version"] == cur_v:
+        return {"action": "noop", "version": cur_v,
+                "groups": meta["n_groups"], "refolded_groups": 0}
+    cb = table.changed_buckets(meta["version"], cur_v)
+    if cb is None:
+        return _rebuild()
+    if len(cb) > rebuild_changed_fraction * table.manifest(cur_v)["num_buckets"]:
+        return _rebuild()
+
+    payload = r0[0]
+    new_partials = materialize(_partials_of(
+        table.read(spark, version=cur_v, buckets=cb).select(key, g, v)
+    ))
+    old_partials = spark.read.parquet(os.path.join(payload, "parts"))
+    old_cb = old_partials.filter(F.col("bucket").isin(cb))
+    # groups whose changed-bucket partials DIFFER: only these can have a
+    # different global top-k (rows outside the bucket top-k can't displace
+    # view rows — they don't even displace their bucket's k-th row)
+    cols = [g, key, v, "bucket"]
+    diff_g = (
+        old_cb.select(*cols).exceptAll(new_partials.select(*cols))
+        .unionByName(new_partials.select(*cols).exceptAll(old_cb.select(*cols)))
+        .select(g).distinct()
+    )
+    n_ref = diff_g.count()
+    old_view = spark.read.parquet(os.path.join(payload, "view"))
+    if n_ref == 0:
+        out = old_view
+    else:
+        all_partials = old_partials.filter(
+            ~F.col("bucket").isin(cb)
+        ).unionByName(new_partials)
+        refolded = _topk_fold(
+            all_partials.alias("p").join(
+                diff_g.alias("d"),
+                F.col(f"p.{g}").eqNullSafe(F.col(f"d.{g}")), "left_semi"),
+            g, key, v, k,
+        )
+        kept = old_view.alias("o").join(
+            diff_g.alias("d"),
+            F.col(f"o.{g}").eqNullSafe(F.col(f"d.{g}")), "left_anti")
+        out = kept.unionByName(refolded)
+    out = materialize(out)
+    n_groups = out.select(g).distinct().count()
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage)
+        out.write.parquet(os.path.join(stage, "view"))
+        os.makedirs(os.path.join(stage, "parts"), exist_ok=True)
+        src = os.path.join(payload, "parts")
+        for d in os.listdir(src):
+            full = os.path.join(src, d)
+            if not os.path.isdir(full):
+                continue
+            if int(d.split("=", 1)[1]) not in cb:
+                artifacts.link_tree(full, os.path.join(stage, "parts", d))
+        _write_partitioned(new_partials, os.path.join(stage, "parts"), "bucket")
+        with open(os.path.join(stage, "sync.json"), "w") as f:
+            json.dump(_meta(n_groups), f)
+
+    try:
+        artifacts.publish(base, artifacts.mutated_key(r0[1]), _build,
+                          expected_seq=r0[2])
+    except artifacts.ArtifactConflict:
+        return topk_view_sync(spark, table, path, group_col=g, value_col=v,
+                              k=k,
+                              rebuild_changed_fraction=rebuild_changed_fraction)
+    return {"action": "incremental", "version": cur_v, "groups": n_groups,
+            "refolded_groups": n_ref}
+
+
+def _topk_oracle_sql() -> str:
+    from recidiviz_data_spark.operators.cdcops import APPLY_GEN, changelog_dir
+
+    glob_path = os.path.join(
+        changelog_dir("apply", APPLY_GEN), "batch_id=*", "part-*.parquet"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT doc_id, op, n_tok, source,
+             row_number() OVER (PARTITION BY doc_id ORDER BY event_seq DESC) AS rn
+      FROM read_parquet('{glob_path}')
+    ),
+    live AS (SELECT doc_id, source, n_tok FROM ev
+             WHERE rn = 1 AND op <> 'D' AND n_tok IS NOT NULL)
+    SELECT source, rnk, doc_id, n_tok FROM (
+      SELECT source, doc_id, n_tok,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tok DESC, doc_id) AS rnk
+      FROM live)
+    WHERE rnk <= 3
+    """
+
+
+@_qx("x_topk_view_sync", _topk_oracle_sql())
+def x_topk_view_sync(spark, sf_dir):
+    """Top-k IVM demo on the deterministic engine changelog: batch-by-batch
+    `topk_view_sync` must converge to the single-shot ranked fold (top-3
+    docs per source by n_tok, doc_id tiebreak)."""
+    from recidiviz_data_spark.cdc.apply import apply_batches, create_empty_table
+    from recidiviz_data_spark.operators.cdcops import (
+        APPLY_GEN,
+        _payload_schema,
+        _workdir,
+        ensure_changelog,
+    )
+    from recidiviz_data_spark.tables.miniberg import Miniberg
+
+    cl = ensure_changelog("apply", APPLY_GEN)
+    wd = _workdir("apply", APPLY_GEN)
+    troot = os.path.join(wd, "table")
+    if Miniberg.exists(troot):
+        table = Miniberg(troot)
+    else:
+        table = create_empty_table(troot, _payload_schema(), num_buckets=8)
+    vpath = os.path.join(wd, "topkview_source_ntok")
+    for b in range(APPLY_GEN["n_batches"]):
+        apply_batches(spark, table, cl, upto=b)
+        # 8-bucket demo table, every batch touches all buckets: keep the
+        # incremental path under oracle-check (see x_agg_view_sync)
+        topk_view_sync(spark, table, vpath, group_col="source",
+                       value_col="n_tok", k=3, rebuild_changed_fraction=1.0)
+    return topk_view_read(spark, vpath).select(
+        "source", "rnk", "doc_id", F.col("n_tok"))

@@ -1126,3 +1126,86 @@ def test_agg_view_minmax_partials_mode(spark, tmp_path):
                 carried = True
                 break
     assert carried
+
+def _topk_full(spark, table, k=3):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("val").desc(), F.col("doc_id"))
+    return {
+        tuple(r) for r in table.read(spark).filter("val IS NOT NULL")
+        .withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+        .select("source", "rnk", "doc_id", "val").collect()
+    }
+
+
+def test_topk_view_sync_exact_and_bucket_bounded(spark, tmp_path):
+    """Top-k IVM: per-(group, bucket) top-k partials make every sync exact
+    and bucket-bounded — a deleted top-1's replacement refills from CARRIED
+    partials of untouched buckets; groups with unchanged partials keep their
+    view rows verbatim; ties break on doc_id; unchanged partial partitions
+    hardlink-carry."""
+    from recidiviz_data_spark.cdc.apply import apply_batch
+    from recidiviz_data_spark.operators.aggview import (
+        topk_view_read,
+        topk_view_sync,
+    )
+    from recidiviz_data_spark.tables import artifacts
+
+    table = _av_table(spark, tmp_path, n=60, buckets=8)
+    path = str(tmp_path / "topk")
+    kw = dict(group_col="source", value_col="val", k=3,
+              rebuild_changed_fraction=1.0)
+
+    def view():
+        return {
+            tuple(r) for r in topk_view_read(spark, path)
+            .select("source", "rnk", "doc_id", "val").collect()
+        }
+
+    res = topk_view_sync(spark, table, path, **kw)
+    assert res["action"] == "rebuild" and res["groups"] == 5
+    assert view() == _topk_full(spark, table)
+    assert topk_view_sync(spark, table, path, **kw)["action"] == "noop"
+    p_v1 = artifacts.resolve(path)[0]
+
+    ev_schema = ("event_seq long, op string, doc_id string, tokens array<int>, "
+                 "n_tok int, source string, val int")
+    # new global top-1 for s0, plus a TIE with an existing value in s1
+    # (doc_id decides); s2..s4 untouched -> not refolded
+    ins = spark.createDataFrame(
+        [(1, "I", "doc_900", [1], 1, "s0", 5000),
+         (2, "I", "doc_000a", [1], 1, "s1", (31 * 7) % 100)], ev_schema)
+    apply_batch(spark, table, ins, 0, compact=False)
+    res = topk_view_sync(spark, table, path, **kw)
+    assert res["action"] == "incremental"
+    assert 0 < res["refolded_groups"] <= 2
+    got = view()
+    assert got == _topk_full(spark, table)
+    assert ("s0", 1, "doc_900", 5000) in got
+
+    # delete the inserted top-1: the refill (old max) lives in buckets the
+    # delete batch never touched — it must come from carried partials
+    rm = spark.createDataFrame(
+        [(3, "D", "doc_900", None, None, None, None)], ev_schema)
+    apply_batch(spark, table, rm, 1, compact=False)
+    res = topk_view_sync(spark, table, path, **kw)
+    assert res["action"] == "incremental" and res["refolded_groups"] >= 1
+    got = view()
+    assert got == _topk_full(spark, table)
+    assert not any(r[2] == "doc_900" for r in got)
+    s0_best = max((i * 7) % 100 for i in range(0, 60, 5))
+    assert any(r[0] == "s0" and r[1] == 1 and r[3] == s0_best for r in got)
+
+    # unchanged partial partitions hardlink-carry across versions
+    p_v3 = artifacts.resolve(path)[0]
+    carried = False
+    for d in sorted(os.listdir(os.path.join(p_v1, "parts"))):
+        a, b = (os.path.join(p, "parts", d) for p in (p_v1, p_v3))
+        if os.path.isdir(a) and os.path.isdir(b):
+            fa = sorted(f for f in os.listdir(a) if f.endswith(".parquet"))
+            fb = sorted(f for f in os.listdir(b) if f.endswith(".parquet"))
+            if fa and fa == fb and os.stat(os.path.join(a, fa[0])).st_ino == \
+                    os.stat(os.path.join(b, fb[0])).st_ino:
+                carried = True
+                break
+    assert carried
