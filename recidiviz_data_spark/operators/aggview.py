@@ -140,7 +140,7 @@ def agg_view_sync(spark, table, path: str | None = None, *,
     def _meta(n_groups: int) -> dict:
         return {"table_uuid": uid, "version": cur_v, "n_groups": n_groups,
                 "group_col": group_col, "value_col": value_col,
-                "minmax": minmax}
+                "minmax": minmax, "kind": "agg"}
 
     def _partials_of(df):
         return df.groupBy(group_col, table.bucket_col().alias("bucket")).agg(
@@ -181,6 +181,8 @@ def agg_view_sync(spark, table, path: str | None = None, *,
         or meta.get("group_col") != group_col
         or meta.get("value_col") != value_col
         or meta.get("minmax", "scan") != minmax
+        or meta.get("kind", "agg") != "agg"  # a distinct/topk artifact at
+        # this path rebuilds as an agg view instead of mis-merging its state
     ):
         return _rebuild()
     if meta["version"] == cur_v:
