@@ -185,6 +185,8 @@ def index_sync_hook(
     ivf_path: str | None = None,
     clusters_path: str | None = None,
     agg_views: list[tuple[str, str, str]] | None = None,
+    distinct_views: list[tuple[str, str, str]] | None = None,
+    topk_views: list[tuple[str, str, str, int]] | None = None,
     sync_kw: dict | None = None,
     results: list | None = None,
 ):
@@ -201,10 +203,12 @@ def index_sync_hook(
     stream commits a snapshot, the indexes advance incrementally, searches
     read only probed cells/bands — no full rebuild on any hot path.
 
-    ``agg_views`` — (path, group_col, value_col) specs — keeps incremental
-    materialized aggregate views (operators/aggview.py) in the same loop:
-    each micro-batch advances them exactly via changed-bucket partial
-    re-aggregation, the streaming half of classic IVM.
+    ``agg_views`` / ``distinct_views`` — (path, group_col, value_col) — and
+    ``topk_views`` — (path, group_col, value_col, k) — keep incremental
+    materialized views (operators/aggview.py) in the same loop: each
+    micro-batch advances them exactly via changed-bucket deltas (partial
+    re-aggregation / support multiset / per-bucket top-k partials), the
+    streaming half of classic IVM.
 
     ``results`` (optional list) collects each sync's return dict, tagged
     with index kind and batch_id, for observability/assertions."""
@@ -235,6 +239,24 @@ def index_sync_hook(
             outs.append(
                 (f"aggview:{g}:{v}",
                  agg_view_sync(spark, table, vpath, group_col=g, value_col=v))
+            )
+        for spec in distinct_views or []:
+            from recidiviz_data_spark.operators.aggview import distinct_view_sync
+
+            vpath, g, v = spec
+            outs.append(
+                (f"distinctview:{g}:{v}",
+                 distinct_view_sync(spark, table, vpath,
+                                    group_col=g, value_col=v))
+            )
+        for spec in topk_views or []:
+            from recidiviz_data_spark.operators.aggview import topk_view_sync
+
+            vpath, g, v, k = spec
+            outs.append(
+                (f"topkview:{g}:{v}:{k}",
+                 topk_view_sync(spark, table, vpath,
+                                group_col=g, value_col=v, k=k))
             )
         if results is not None:
             for kind, r in outs:

@@ -937,19 +937,40 @@ def test_agg_view_follows_stream(spark, tmp_path):
                             if f.name not in ("event_seq", "op")])
     table = create_empty_table(str(tmp_path / "t_avs"), payload, num_buckets=4)
     vpath = str(tmp_path / "avstream")
+    dpath = str(tmp_path / "dvstream")
+    tpath = str(tmp_path / "tkstream")
     rs: list[dict] = []
     hook = index_sync_hook(spark, agg_views=[(vpath, "source", "val")],
+                           distinct_views=[(dpath, "source", "val")],
+                           topk_views=[(tpath, "source", "val", 2)],
                            results=rs)
     stream_apply_available_now(spark, table, str(tmp_path / "cl"),
                                str(tmp_path / "ck"), max_files_per_trigger=1,
                                schema=schema, post_batch=hook, compact=False)
 
-    assert [r["action"] for r in rs] == ["rebuild", "incremental", "incremental"]
-    assert rs[0]["kind"] == "aggview:source:val"
+    # 3 epochs x 3 views, epoch 1 builds, the rest advance incrementally
+    assert [r["kind"] for r in rs] == [
+        "aggview:source:val", "distinctview:source:val", "topkview:source:val:2",
+    ] * 3
+    assert all(r["action"] == "rebuild" for r in rs[:3])
+    assert all(r["action"] == "incremental" for r in rs[3:])
     assert _av_view(spark, vpath) == {
         tuple(r) for r in _aggs(table.read(spark), "source", "val")
         .withColumn("sum_val", F.col("sum_val").cast("double")).collect()
     }
+    from recidiviz_data_spark.operators.aggview import (
+        distinct_view_read,
+        topk_view_read,
+    )
+
+    assert {tuple(r) for r in distinct_view_read(spark, dpath).collect()} == {
+        tuple(r) for r in table.read(spark).groupBy("source")
+        .agg(F.count_distinct("val").alias("n_distinct")).collect()
+    }
+    assert {
+        tuple(r) for r in topk_view_read(spark, tpath)
+        .select("source", "rnk", "doc_id", "val").collect()
+    } == _topk_full(spark, table, k=2)
 
 def test_distinct_view_sync_exact_and_partition_carry(spark, tmp_path):
     """COUNT(DISTINCT) IVM: the support multiset keeps every sync exact
