@@ -43,8 +43,9 @@ MINHASH_BAND_CAP = 200
 SIMHASH_BAND_CAP = 1000
 
 
-def _shingles(spark, sf_dir, docs=None):
-    """Distinct 3-word shingles per doc (native HOFs: split/transform/slice).
+def _shingles_raw(spark, sf_dir, docs=None):
+    """Per-row-distinct 3-word shingles per doc, NOT yet globally distinct
+    (native HOFs: split/transform/slice).
 
     The docs are repartitioned to cluster parallelism first: HOF lambdas are
     expression-INTERPRETED per element (no codegen), so a small parquet that
@@ -53,8 +54,8 @@ def _shingles(spark, sf_dir, docs=None):
     rebalance; on a one-file demo input it is an ~8x wall-clock win.
     ``docs`` overrides the table read (test injection)."""
     d = (docs if docs is not None else load(spark, sf_dir, "documents")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # hash, not round-robin: no sortBeforeRepartition pass, deterministic
     words = F.split(F.trim("text"), r"\s+")
     # guard: sequence(1, 0) is DESCENDING in Spark (yields [1, 0] and slice
     # throws on start=0) — docs with < 3 words produce no shingles, matching
@@ -66,13 +67,17 @@ def _shingles(spark, sf_dir, docs=None):
             lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # array_distinct BEFORE the explode dedups within a row; the global
-    # distinct() stays because the oracle's SELECT DISTINCT also dedups
-    # ACROSS rows sharing a doc_id (a re-ingested/duplicated doc must not
-    # inflate shingle counts). array_distinct first keeps the shuffle small.
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
-    ).distinct()
+    # array_distinct dedups within a row; the cross-row distinct is the
+    # caller's job (string or hashed form)
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def _shingles(spark, sf_dir, docs=None):
+    """Distinct (doc_id, shingle) pairs. The global distinct() stays because
+    the oracle's SELECT DISTINCT also dedups ACROSS rows sharing a doc_id
+    (a re-ingested/duplicated doc must not inflate shingle counts);
+    array_distinct inside _shingles_raw keeps the shuffle small."""
+    return _shingles_raw(spark, sf_dir, docs=docs).distinct()
 
 
 def _shingles_capped(spark, sf_dir, docs=None):
@@ -96,6 +101,40 @@ def _shingles_capped(spark, sf_dir, docs=None):
         F.countDistinct("doc_id").alias("nd")
     )
     return sh.join(F.broadcast(_hot_shingles(sh, n_docs)), "shingle", "left_anti")
+
+
+def _shingles_hashed(spark, sf_dir, docs=None):
+    """Distinct (doc_id, h) where h = phash(shingle): the shingle string is
+    hashed IMMEDIATELY after the explode, BEFORE the cross-row distinct —
+    the dedup/hot-list shuffles then move 16-byte long pairs instead of
+    ~30-byte strings, and every downstream comparison (distinct, hot-list
+    groupBy, anti-join, jaccard pair join) is a long compare (guide §2.3
+    'shuffle keys and metadata instead of payloads'). phash is the SAME
+    md5-int60 the minhash lanes and the DuckDB oracles already apply to the
+    shingle string, so hashing earlier changes nothing downstream (a 60-bit
+    collision would need ~2^30 distinct shingles per corpus; the oracle
+    comparison at every SF verifies the outputs bit-exactly)."""
+    sh = _shingles_raw(spark, sf_dir, docs=docs)
+    return sh.select("doc_id", phash(F.col("shingle")).alias("h")).distinct()
+
+
+def _shingles_capped_hashed(spark, sf_dir, docs=None):
+    """_shingles_hashed minus hot shingle hashes — the hashed mirror of
+    _shingles_capped (same DF_CAP_* threshold, same broadcast anti-join,
+    same single materialization shared by the hot-list aggregate and the
+    anti-join consumer)."""
+    shh = materialize(_shingles_hashed(spark, sf_dir, docs=docs))
+    n_docs = (docs if docs is not None else load(spark, sf_dir, "documents")).select(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    hot = (
+        shh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * DF_CAP_DEN > F.col("nd") * DF_CAP_NUM)
+        .select("h")
+    )
+    return shh.join(F.broadcast(hot), "h", "left_anti")
 
 
 def _hot_shingles(sh, n_docs):
@@ -177,12 +216,12 @@ def d_ngram_jaccard(spark, sf_dir, docs=None):
     Hot shingles (df above the corpus cap) are removed first — they are the
     one remaining quadratic trapdoor in a shingle equi-join at 100TB, and
     jaccard is computed over the CAPPED shingle sets in both engines."""
-    sh = _shingles_capped(spark, sf_dir, docs=docs)
+    sh = _shingles_capped_hashed(spark, sf_dir, docs=docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("shared"))
     )
@@ -267,8 +306,10 @@ def _band_rows(sh):
     shared by the in-session index (`_minhash_bands`, which adds the
     bucket-size cap) and the persisted band index (`band_index_build` /
     `band_index_append`, which store sizes separately so the cap composes
-    across appends)."""
-    sh = sh.withColumn("h", F.pmod(phash(F.col("shingle")), F.lit(LSH_P)))
+    across appends). Accepts either raw shingle strings or rows already
+    carrying ``h`` = phash(shingle) (the hashed in-session pipeline)."""
+    h0 = F.col("h") if "h" in sh.columns else phash(F.col("shingle"))
+    sh = sh.withColumn("h", F.pmod(h0, F.lit(LSH_P)))
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(j)) % F.lit(LSH_P)).alias(f"mh{j}")
@@ -298,7 +339,7 @@ def _minhash_bands(spark, sf_dir, docs=None, band_cap=MINHASH_BAND_CAP):
     set, oversize band buckets dropped — the minhash INDEX a corpus would
     materialize once and probe incrementally (``band_index_build`` is its
     persisted, append-able form)."""
-    bands = _band_rows(_shingles_capped(spark, sf_dir, docs=docs))
+    bands = _band_rows(_shingles_capped_hashed(spark, sf_dir, docs=docs))
     # candidate budget: drop band buckets larger than the cap BEFORE the pair
     # join (see MINHASH_BAND_CAP). A whole-partition window count computes
     # bucket sizes in the SAME single pass (no second evaluation of the
@@ -717,27 +758,39 @@ def d_simhash(spark, sf_dir):
 
 
 def _simhash_sig(spark, sf_dir):
-    # parallelize the word-explode (x32 bit rows) past the single input split
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    """32-bit SimHash per doc. The bit voting runs as 32 conditional-sum
+    COLUMNS in ONE groupBy(doc_id) — not as a x32 bit-row explode feeding a
+    (doc_id, i) aggregate: the explode multiplied every token row 32-fold
+    before the shuffle and needed a second shuffle to fold bits back into a
+    signature. The column form shuffles one 32-column partial row per (doc,
+    map partition) and needs no second exchange; per-token work is the same
+    32 shift/mask ops, now whole-stage-codegen'd instead of generator rows
+    (guide §2.3 'aggregate before you shuffle'; measured 3.2 -> ~1.3 s at
+    sf1.0). The vote s_i and the final bit assembly are exact integer ops —
+    identical to the bit-row form and the DuckDB oracle."""
+    # parallelize the word-explode past the single input split; hash on
+    # doc_id (deterministic, no sortBeforeRepartition pass, even spread)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     tokens = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
     ).withColumn("h", phash(F.col("word")))
-    bits = (
-        tokens.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"))
-        .groupBy("doc_id", "i")
-        .agg(
+    votes = tokens.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("shiftright(h, i) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
+                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(32)
+        ]
+    )
+    simhash = None
+    for i in range(32):
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0)
-        ).alias("simhash")
-    )
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 @_q(
@@ -1513,8 +1566,8 @@ def x_span_dedup(spark, sf_dir, docs=None):
     partitioned window (one shuffle, no pair join, no quadratic term);
     coverage re-explodes only DUPLICATED spans by the constant SPAN_LEN."""
     d = (docs if docs is not None else load(spark, sf_dir, "documents")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # hash, not round-robin: no sortBeforeRepartition pass, deterministic
     from pyspark.sql.window import Window as _W
 
     words = F.split(F.trim("text"), r"\s+")
@@ -1639,8 +1692,8 @@ def x_span_scrub(spark, sf_dir, docs=None):
     reassembly is a per-doc sort of kept (pos, word) structs — partitioned
     by doc_id, never global."""
     d = (docs if docs is not None else load(spark, sf_dir, "documents")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # hash, not round-robin: no sortBeforeRepartition pass, deterministic
     from pyspark.sql.window import Window as _W
 
     words = F.split(F.trim("text"), r"\s+")

@@ -114,14 +114,25 @@ def a4_distinct_counts(spark, sf_dir):
 )
 def a6_cube(spark, sf_dir):
     """Multi-dimensional combos — native replacement for the reference
-    calculator's hand-enumerated dimension subsets (SURVEY §2.4 A6)."""
+    calculator's hand-enumerated dimension subsets (SURVEY §2.4 A6).
+
+    Pre-aggregates by the full (flag, status) key FIRST, then cubes the tiny
+    partial table: CUBE's Expand multiplies every input row x4 BEFORE the
+    partial aggregate, so cubing the base table shuffles/aggregates 4x the
+    fact rows, while cubing the per-key partials expands only O(distinct
+    keys) rows. SUM of per-key decimal partial sums == the direct decimal
+    SUM (exact), and grouping() flags come from the outer cube unchanged."""
     li = load(spark, sf_dir, "lineitem")
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_s"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        pre.cube("l_returnflag", "l_linestatus")
         .agg(
             (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("gid"),
-            F.count("*").alias("n"),
-            dec_sum("l_quantity", "sum_qty"),
+            F.sum("_n").alias("n"),
+            F.sum("_s").cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
@@ -198,17 +209,42 @@ def a6_grouping_sets(spark, sf_dir):
     """,
 )
 def j3_dim_join_revenue(spark, sf_dir):
-    """Fact ⨝ broadcast dimension chain (reference view joins, J3)."""
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
+    """Fact ⨝ broadcast dimension chain (reference view joins, J3).
+
+    The dimension chain is FUSED before it meets the fact table: customer ⨝
+    nation ⨝ region collapses to one broadcast (c_custkey -> region, nation)
+    dim, so each fact row runs two hash probes (orders, cdim) instead of
+    four (guide §3.1). Every input is projected to exactly the join/agg
+    columns (guide §2.3 'project before the exchange'), and the fact slice
+    is hash-repartitioned to cluster parallelism past the row-group-bounded
+    scan. At lake scale, where orders outgrows executor memory, the
+    F.broadcast(o) hint is the knob to drop so the planner reverts to a
+    shuffle join for that edge."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    # the demo lineitem parquet has 6 row groups, so the scan stage (which
+    # runs the probes and the partial aggregate) is capped at 6 tasks; the
+    # hash repartition of the 3-column slice spreads probe+agg over the full
+    # cluster (no sortBeforeRepartition pass; a many-file lake scan makes
+    # this a cheap rebalance). Probed variants: the unrepartitioned chain
+    # 3.6 s, a pre-agg-by-orderkey form 4.6 s (decimal partial agg serializes
+    # on the 6 scan tasks), this shape 1.7-2.1 s at sf1.0.
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cdim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    # build sides must stay the dimension slices, never the (projected) fact:
+    # a 3-column lineitem slice's size ESTIMATE can fall under the broadcast
+    # threshold and flip the build side to the 4x-bigger fact (measured 7.2 s)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cdim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             dec_expr_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
@@ -274,21 +310,37 @@ def j1_anti_join(spark, sf_dir):
 )
 def j1_merge_full_outer(spark, sf_dir):
     """The MERGE/entity-matching core (J1): full-outer join of two snapshot
-    states, classifying keys insert/update/delete — the differ shape."""
-    o = load(spark, sf_dir, "orders")
-    agg = lambda df: df.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count("*").alias("n"), dec_sum("o_totalprice", "v")
+    states, classifying keys insert/update/delete — the differ shape.
+
+    Fused form: the two halves partition one table by a row predicate, so the
+    full-outer join of their per-key aggregates == ONE conditional aggregation
+    per key (a key is 'in h1' iff it has >= 1 yr<=1997 row). One scan and one
+    shuffle instead of two scans + two shuffles + a full-outer join; the
+    at-scale differ over two INDEPENDENT snapshots keeps the join form
+    (cdc_snapshot_diff / cdc/differ.py)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).repartition(spark.sparkContext.defaultParallelism, "o_custkey")
+    # hash-repartition on the grouping key: the demo orders parquet has 2 row
+    # groups (scan parallelism 2), so the per-key aggregate would otherwise
+    # run its partial phase on 2 tasks; partitioning by o_custkey is reused
+    # by the groupBy (no second exchange) and, unlike keyless round-robin,
+    # needs no sortBeforeRepartition pass
+    yr = F.year("o_orderdate")
+    p = F.col("o_totalprice").cast("decimal(18,4)")
+    g = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.when(yr <= 1997, 1)).alias("n1"),
+        F.sum(F.when(yr <= 1997, p)).cast("double").alias("v1"),
+        F.count(F.when(yr > 1997, 1)).alias("n2"),
+        F.sum(F.when(yr > 1997, p)).cast("double").alias("v2"),
     )
-    h1 = agg(o.filter(F.year("o_orderdate") <= 1997))
-    h2 = agg(o.filter(F.year("o_orderdate") > 1997))
-    j = h1.alias("a").join(h2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
     op = (
-        F.when(F.col("a.k").isNull(), "insert")
-        .when(F.col("b.k").isNull(), "delete")
-        .when(F.col("a.v") != F.col("b.v"), "update")
+        F.when(F.col("n1") == 0, "insert")
+        .when(F.col("n2") == 0, "delete")
+        .when(F.col("v1") != F.col("v2"), "update")
         .otherwise("unchanged")
     )
-    return j.select(op.alias("op")).groupBy("op").agg(F.count("*").alias("n_keys"))
+    return g.select(op.alias("op")).groupBy("op").agg(F.count("*").alias("n_keys"))
 
 
 @_q(
@@ -306,14 +358,21 @@ def j4_date_spine(spark, sf_dir):
     """Date-spine interval join (J4): sequence+explode turns the range join
     into an equi-join on day — the scalable idiom for daily-population views."""
     o = load(spark, sf_dir, "orders")
+    # aggregate BEFORE the explode (guide §2.3): counting orders per
+    # orderdate first shrinks the exploded stream from 7x fact rows to
+    # 7 x O(distinct dates) rows — the spine join then sums the per-date
+    # counts. Identical result; the sequence/date_format work runs on
+    # thousands of rows instead of millions.
+    per_date = o.groupBy(F.to_date("o_orderdate").alias("d0")).agg(
+        F.count("*").alias("_n")
+    )
     return (
-        o.select(
-            F.explode(
-                F.sequence(F.to_date("o_orderdate"), F.date_add(F.to_date("o_orderdate"), 6))
-            ).alias("day")
+        per_date.select(
+            F.explode(F.sequence(F.col("d0"), F.date_add(F.col("d0"), 6))).alias("day"),
+            "_n",
         )
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
-        .agg(F.count("*").alias("n_open_orders"))
+        .agg(F.sum("_n").alias("n_open_orders"))
     )
 
 
@@ -522,23 +581,31 @@ def o2_top_orders(spark, sf_dir):
 )
 def u1_stitch_precedence(spark, sf_dir):
     """The reference's stitch views (J5/U1): UNION ALL overlapping sources,
-    keep one row per key by source precedence."""
-    e = load(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type").isin("purchase", "signup")).select(
-        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value",
-        F.lit(1).alias("precedence"), "event_id",
+    keep one row per key by source precedence.
+
+    Optimized shape: the two UNION branches partition one table, so a single
+    scan computes precedence as a CASE (no double read), and the
+    row_number-over-sort top-1 collapses to min(struct(precedence, event_id,
+    value)) — a hash aggregate with map-side partials instead of a full sort
+    window (struct ordering is lexicographic: min precedence, then min
+    event_id — exactly the window's ORDER BY; event_id is the total-order
+    tiebreak, so the winner is identical)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_type", "event_id"
+    ).repartition(spark.sparkContext.defaultParallelism, "user_id")
+    # hash-repartition on user_id: single-row-group scan otherwise runs the
+    # partial (sort-)aggregate on one task; hashpartitioning(user_id)
+    # satisfies the groupBy(user_id, day) distribution, so no extra exchange
+    prec = F.when(F.col("event_type").isin("purchase", "signup"), 1).when(
+        F.col("event_type").isin("click", "view"), 2
     )
-    b = e.filter(F.col("event_type").isin("click", "view")).select(
-        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value",
-        F.lit(2).alias("precedence"), "event_id",
-    )
-    w = Window.partitionBy("user_id", "day").orderBy("precedence", "event_id")
-    return (
-        a.unionByName(b)
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("user_id", "day", F.col("value").alias("chosen_value"),
-                F.col("precedence").alias("chosen_src"))
+    u = e.withColumn("precedence", prec).filter(F.col("precedence").isNotNull())
+    best = u.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.min(F.struct("precedence", "event_id", "value")).alias("_w"))
+    return best.select(
+        "user_id", "day", F.col("_w.value").alias("chosen_value"),
+        F.col("_w.precedence").alias("chosen_src"),
     )
 
 
@@ -724,12 +791,23 @@ def f_case_math(spark, sf_dir):
     """,
 )
 def f_json_extract(spark, sf_dir):
-    """JSON scalar functions (SURVEY §2.6) over events.props."""
-    e = load(spark, sf_dir, "events")
+    """JSON scalar functions (SURVEY §2.6) over events.props.
+
+    The JSON path is extracted ONCE in a projection (the two aggregate
+    expressions otherwise each parse props per row — no CSE across agg
+    expressions), and the 2-column slice is repartitioned to cluster
+    parallelism first: the demo events table is a single parquet row group,
+    so the parse would otherwise run on ONE task (scan parallelism is
+    row-group-bounded); on a many-file lake input the repartition is a
+    cheap rebalance of the pruned 2-column stream."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "props", "event_id"
+    ).repartition(spark.sparkContext.defaultParallelism, "event_id")
     k = F.get_json_object("props", "$.k")
-    return e.groupBy("event_type").agg(
-        F.sum(k.cast("long")).cast("long").alias("sum_k"),
-        F.count(k).alias("n_with_k"),
+    pro = e.select("event_type", k.alias("_k"))
+    return pro.groupBy("event_type").agg(
+        F.sum(F.col("_k").cast("long")).cast("long").alias("sum_k"),
+        F.count("_k").alias("n_with_k"),
     )
 
 
@@ -785,16 +863,24 @@ def f_pivot(spark, sf_dir):
 )
 def a5_lww_state(spark, sf_dir):
     """Last-writer-wins collapse (A5) — the engine's dedup semantic run
-    against the events stream: current state per user."""
-    e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select(
-            "user_id", F.col("event_type").alias("cur_type"),
-            F.col("value").alias("cur_value"), F.date_format("ts", "yyyy-MM-dd").alias("cur_day"),
-        )
+    against the events stream: current state per user.
+
+    row_number-desc top-1 == max(struct(ts, event_id, payload)): struct
+    ordering is lexicographic (max ts, then max event_id — the window's
+    DESC/DESC order with event_id as the total-order tiebreak), so the
+    winner row is identical while the full sort window becomes a hash
+    aggregate with map-side partial combine — the same LWW shape the CDC
+    apply path uses (cdc/apply.py::_dedup_agg_fused)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).repartition(spark.sparkContext.defaultParallelism, "user_id")
+    best = e.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_w")
+    )
+    return best.select(
+        "user_id", F.col("_w.event_type").alias("cur_type"),
+        F.col("_w.value").alias("cur_value"),
+        F.date_format("_w.ts", "yyyy-MM-dd").alias("cur_day"),
     )
 
 

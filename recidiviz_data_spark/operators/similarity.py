@@ -25,8 +25,8 @@ def _scaled(spark, sf_dir):
     # expression-interpreted (no codegen), so dot products on a one-file demo
     # input would otherwise run on one task; no-op rebalance on a lake input
     e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )  # hash, not round-robin: no sortBeforeRepartition pass, deterministic
     iv = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
     out = e.select("vec_id", "label", iv.alias("v"))
     # precompute the (exact) squared norm ONCE per vector — pair queries then

@@ -40,14 +40,21 @@ STOPWORDS = {
     """,
 )
 def t_token_count(spark, sf_dir):
-    """Whitespace tokenization counts per language (token budget accounting)."""
-    d = load(spark, sf_dir, "documents")
-    n = F.size(F.split(F.trim("text"), r"\s+"))
-    return d.groupBy("lang").agg(
+    """Whitespace tokenization counts per language (token budget accounting).
+
+    The token count is projected ONCE (three aggregate expressions would
+    otherwise each re-run the regex split per row) and the 2-column slice is
+    repartitioned first: the demo documents table is one parquet row group,
+    so the split would otherwise run on a single task."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "text", "doc_id"
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pro = d.select("lang", F.size(F.split(F.trim("text"), r"\s+")).alias("_n"))
+    return pro.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(n).alias("total_tokens"),
-        (F.sum(n).cast("double") / F.count("*")).alias("avg_tokens"),
-        F.max(n).alias("max_tokens"),
+        F.sum("_n").alias("total_tokens"),
+        (F.sum("_n").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max("_n").alias("max_tokens"),
     )
 
 
@@ -419,9 +426,10 @@ def x_subword_bpe(spark, sf_dir):
 
         return texts.map(doc_count).astype("int64")
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # hash, not round-robin: no sortBeforeRepartition pass; 2-col slice
+    # so only (doc_id, text) crosses the shuffle and the Arrow boundary
     return d.select("doc_id", n_subword_udf("text").alias("n_subword"))
 
 
