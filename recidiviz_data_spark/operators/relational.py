@@ -67,11 +67,23 @@ def dec_expr_sum(expr, alias: str):
     """,
 )
 def a1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: the reference's view-layer COUNT/SUM GROUP BYs (A1/A2)."""
-    li = load(spark, sf_dir, "lineitem")
+    """TPC-H Q1 shape: the reference's view-layer COUNT/SUM GROUP BYs (A1/A2).
+
+    The filtered 6-column slice is hash-repartitioned to cluster parallelism
+    before the aggregate: the demo lineitem parquet has 6 row groups, so the
+    DECIMAL-exact partial aggregation (the dominant per-row cost — measured
+    1.3 s of the 2.2 s total) would otherwise run on 6 tasks. The shuffle
+    moves only the projected slice (shipdate filter already pushed to the
+    scan); measured 2.23 -> 1.25 s at sf1.0. On a many-file lake scan the
+    repartition is a cheap rebalance."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    ).filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    ).repartition(spark.sparkContext.defaultParallelism, "l_extendedprice")
     return (
-        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity", "sum_qty"),
             dec_sum("l_extendedprice", "sum_base_price"),
