@@ -323,16 +323,55 @@ _IVF_ORACLE = f"""
 
 def _nearest_cents(iv, cents, n: int = 1):
     """Rank centroids per vector by exact squared L2 on the int-scaled
-    vectors (centroid-id tiebreak), keep the nearest ``n``. Centroids
-    broadcast — the corpus is never shuffled for assignment."""
-    dist2 = F.col("n2") + F.col("cn2") - 2 * _dot(F.col("v"), F.col("cv"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cent_id"))
-    return (
-        iv.crossJoin(F.broadcast(cents))
-        .withColumn("dist2", dist2)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= n)
-        .select("vec_id", "cent_id", "dist2", "rn")
+    vectors (centroid-id tiebreak), keep the nearest ``n``. Centroids are
+    collected once (O(sqrt corpus) rows — the same relation the previous
+    form built into a broadcast) and the corpus is scored in a vectorized
+    numpy mapInPandas (guide §4.2): one int64 matmul per Arrow batch
+    replaces an interpreted 64-dim zip_with/aggregate dot per (vector,
+    centroid) pair PLUS a corpus x centroids row_number sort window
+    (measured: e_ann_ivf 101 -> ~3 s at sf1.0, where the cross join was
+    12.9M interpreted dots and two 12.9M-row rank windows). Exactness:
+    dist2 = n2 + cn2 - 2*dot is pure int64 arithmetic (|v| <= ~1e3 scaled,
+    dot <= 64e6 — no overflow, and exactly representable as the double the
+    old plan produced); ties break by ascending cent_id via a STABLE
+    argsort over centroid columns pre-sorted by cent_id — the same
+    (dist2, cent_id) total order as the row_number window."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents.select("cent_id", "cv", "cn2").collect(),
+                  key=lambda r: r["cent_id"])
+    if not rows:  # no centroids: the old cross join yielded no rows either
+        return iv.sparkSession.createDataFrame(
+            [], "vec_id long, cent_id long, dist2 double, rn int"
+        )
+    C = np.array([r["cv"] for r in rows], dtype=np.int64)
+    cn2 = np.array([int(r["cn2"]) for r in rows], dtype=np.int64)
+    cids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    k = min(n, len(rows))
+    bc = iv.sparkSession.sparkContext.broadcast((C, cn2, cids, k))
+
+    def assign(batches):
+        C, cn2, cids, k = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.int64)
+            n2 = pdf["n2"].to_numpy().astype(np.int64)
+            D = n2[:, None] + cn2[None, :] - 2 * (V @ C.T)
+            idx = np.argsort(D, axis=1, kind="stable")[:, :k]
+            rr = np.arange(len(pdf))[:, None]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cent_id": cids[idx].ravel(),
+                    "dist2": D[rr, idx].ravel().astype(np.float64),
+                    "rn": np.tile(np.arange(1, k + 1, dtype=np.int32), len(pdf)),
+                }
+            )
+
+    return iv.select("vec_id", "v", "n2").mapInPandas(
+        assign, schema="vec_id long, cent_id long, dist2 double, rn int"
     )
 
 

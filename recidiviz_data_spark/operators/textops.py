@@ -83,12 +83,18 @@ def t_token_count(spark, sf_dir):
 def t_langid_heuristic(spark, sf_dir):
     """Stopword-hit language ID (n-gram-heuristic class): confusion counts of
     labeled vs predicted language."""
-    d = load(spark, sf_dir, "documents")
-    words = F.split(F.lower("text"), r"\s+")
+    # split once into a projected column (the four per-language scores would
+    # otherwise each re-run the regex split inside their interpreted filter
+    # lambda — no CSE across select expressions), and hash-repartition past
+    # the single-row-group scan so the interpreted stopword filters run
+    # cluster-wide
+    d = load(spark, sf_dir, "documents").select("lang", "text", "doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).withColumn("_w", F.split(F.lower("text"), r"\s+"))
 
     def score(lang):
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        return F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
+        return F.size(F.filter(F.col("_w"), lambda x: F.array_contains(sw, x)))
 
     scored = d.select(
         "lang",
@@ -124,7 +130,11 @@ def t_langid_heuristic(spark, sf_dir):
 def t_quality_score(spark, sf_dir):
     """Quality heuristics: length, lexical diversity, chars/word -> bucket
     (the doc-filtering stage of a training-data pipeline)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # (single-row-group scan: repartition spreads the two regex splits +
+    # array_distinct; 4-column slice keeps the shuffle lean)
     words = F.split(F.trim("text"), r"\s+")
     lwords = F.split(F.lower("text"), r"\s+")
     q = d.select(
