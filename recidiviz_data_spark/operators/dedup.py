@@ -869,12 +869,19 @@ def d_simhash_banded(spark, sf_dir, band_cap=SIMHASH_BAND_CAP):
         # (measured 1.7 -> 1.4 s at sf0.1); 4 rows/doc, tiny to store
     )
     a, b = bandrows.alias("a"), bandrows.alias("b")
+    # the hamming filter runs INSIDE the join, before the pair distinct:
+    # bucket-sharing pairs with hamming > 2 (8 agreeing bits say nothing
+    # about the other 24) never enter the dedup exchange — same result
+    # (filter-then-distinct == distinct-then-filter for a deterministic
+    # per-row predicate), fewer rows shuffled (guide §2.3)
+    jham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (jham <= 2),
         )
         .select(
             F.col("a.doc_id").alias("d1"),
@@ -885,9 +892,7 @@ def d_simhash_banded(spark, sf_dir, band_cap=SIMHASH_BAND_CAP):
         .distinct()
     )
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return cand.select("d1", "d2", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 2
-    )
+    return cand.select("d1", "d2", hamming.alias("hamming"))
 
 
 @_qx(
