@@ -666,7 +666,13 @@ def distinct_view_sync(spark, table, path: str | None = None, *,
         artifacts.publish(base, artifacts.mutated_key(r0[1]), _build,
                           expected_seq=r0[2])
     except artifacts.ArtifactConflict:
-        return distinct_view_sync(spark, table, path, group_col=g, value_col=v)
+        # pass the caller's guard through the re-entry (ADVICE r7: dropping
+        # it reverted a conflict retry to the 0.5 default — a caller on a
+        # few-bucket table asking 1.0 silently got a full rebuild)
+        return distinct_view_sync(
+            spark, table, path, group_col=g, value_col=v,
+            rebuild_changed_fraction=rebuild_changed_fraction,
+        )
     return {"action": "incremental", "version": cur_v, "groups": n_groups,
             "changed_parts": len(changed_parts)}
 

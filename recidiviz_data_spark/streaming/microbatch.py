@@ -188,6 +188,7 @@ def index_sync_hook(
     distinct_views: list[tuple[str, str, str]] | None = None,
     topk_views: list[tuple[str, str, str, int]] | None = None,
     sync_kw: dict | None = None,
+    view_sync_kw: dict | None = None,
     results: list | None = None,
 ):
     """``post_batch`` composer: keep the persisted derived indexes in step
@@ -210,9 +211,16 @@ def index_sync_hook(
     re-aggregation / support multiset / per-bucket top-k partials), the
     streaming half of classic IVM.
 
+    ``view_sync_kw`` forwards keyword overrides shared by all three VIEW
+    syncs (``rebuild_changed_fraction``) — ``sync_kw`` reaches only the
+    band/IVF/cluster syncs, whose signatures differ; without this a stream
+    on a few-bucket table silently full-rebuilt every view each micro-batch
+    (the 0.5-default pitfall CLAUDE.md documents — ADVICE r7).
+
     ``results`` (optional list) collects each sync's return dict, tagged
     with index kind and batch_id, for observability/assertions."""
     kw = sync_kw or {}
+    vkw = view_sync_kw or {}
 
     def hook(table: Miniberg, batch_id: int) -> None:
         from recidiviz_data_spark.operators.dedup import (
@@ -238,7 +246,8 @@ def index_sync_hook(
             vpath, g, v = spec
             outs.append(
                 (f"aggview:{g}:{v}",
-                 agg_view_sync(spark, table, vpath, group_col=g, value_col=v))
+                 agg_view_sync(spark, table, vpath, group_col=g, value_col=v,
+                               **vkw))
             )
         for spec in distinct_views or []:
             from recidiviz_data_spark.operators.aggview import distinct_view_sync
@@ -247,7 +256,7 @@ def index_sync_hook(
             outs.append(
                 (f"distinctview:{g}:{v}",
                  distinct_view_sync(spark, table, vpath,
-                                    group_col=g, value_col=v))
+                                    group_col=g, value_col=v, **vkw))
             )
         for spec in topk_views or []:
             from recidiviz_data_spark.operators.aggview import topk_view_sync
@@ -256,7 +265,7 @@ def index_sync_hook(
             outs.append(
                 (f"topkview:{g}:{v}:{k}",
                  topk_view_sync(spark, table, vpath,
-                                group_col=g, value_col=v, k=k))
+                                group_col=g, value_col=v, k=k, **vkw))
             )
         if results is not None:
             for kind, r in outs:

@@ -1382,6 +1382,16 @@ class Miniberg:
         tm_ = self.manifest(to_version)
         if fm_["num_buckets"] != tm_["num_buckets"]:
             return None  # bucket function changed: no stable bucket identity
+        if any(
+            "buckets" not in m and "bucket_ranges" not in m for m in (fm_, tm_)
+        ):
+            # legacy single-level manifest: no per-bucket file sets to
+            # compare — _bucket_map would yield {} for BOTH sides and the
+            # diff would read as "nothing changed", silently stamping
+            # downstream index/view syncs current while stale (ADVICE r7).
+            # None = "treat every bucket as changed", the conservative
+            # answer (mirrors the legacy guard in _try_rebase).
+            return None
         if (
             "bucket_ranges" in fm_
             and "bucket_ranges" in tm_
