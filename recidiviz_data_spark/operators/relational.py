@@ -603,10 +603,10 @@ def u1_stitch_precedence(spark, sf_dir):
     Optimized shape: the two UNION branches partition one table, so a single
     scan computes precedence as a CASE (no double read), and the
     row_number-over-sort top-1 collapses to min(struct(precedence, event_id,
-    value)) — a hash aggregate with map-side partials instead of a full sort
-    window (struct ordering is lexicographic: min precedence, then min
-    event_id — exactly the window's ORDER BY; event_id is the total-order
-    tiebreak, so the winner is identical)."""
+    value)) — a partial+final SortAggregate above the one keyed exchange
+    instead of a row_number window pass (struct ordering is lexicographic:
+    min precedence, then min event_id — exactly the window's ORDER BY;
+    event_id is the total-order tiebreak, so the winner is identical)."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "value", "event_type", "event_id"
     ).repartition(spark.sparkContext.defaultParallelism, "user_id")
@@ -887,9 +887,9 @@ def a5_lww_state(spark, sf_dir):
     row_number-desc top-1 == max(struct(ts, event_id, payload)): struct
     ordering is lexicographic (max ts, then max event_id — the window's
     DESC/DESC order with event_id as the total-order tiebreak), so the
-    winner row is identical while the full sort window becomes a hash
-    aggregate with map-side partial combine — the same LWW shape the CDC
-    apply path uses (cdc/apply.py::_dedup_agg_fused)."""
+    winner row is identical while the row_number window pass becomes a
+    partial+final SortAggregate above the one keyed exchange — the same LWW
+    shape the CDC apply path uses (cdc/apply.py::_dedup_agg_fused)."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     ).repartition(spark.sparkContext.defaultParallelism, "user_id")
